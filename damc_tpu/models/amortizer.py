@@ -1,0 +1,199 @@
+"""DAMC amortizer Q — the central model (reference `_netQ_U`).
+
+Bundles the conditional encoder, the prior embedder, and the latent denoiser
+(`/root/reference/workspace/src/diffusion_net.py:537-645`; toy variant
+`toy_example/src/diffusion_net.py:141-263` is the same module with an MLP
+encoder — unified here, toy = config).
+
+Design split (TPU-first): this module owns parameters and single-pass methods
+(`encode`, `prior_embed`, `denoise`, `loss`); the 100-step reverse-diffusion
+sweep lives in `damc_tpu.ops.reverse_diffusion` as a `lax.scan` over a pure
+denoise closure — see `sample_q` / `sample_q_prior` below. Randomness is
+explicit key threading (no global RNG).
+
+The reference's unused legacy `xemb` parameter (`diffusion_net.py:576`) is
+dead weight and not modeled.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.diffusion import diffusion_forward, logsnr_schedule
+from ..ops.reverse_diffusion import reverse_diffusion_sample
+from .common import torch_bias_init, torch_kernel_init
+from .denoiser import LatentDenoiser
+from .encoders import MLPEncoder, make_encoder
+
+
+class PriorEmbedder(nn.Module):
+    """Noise -> "prior embedding": nz -> 128 -> LeakyReLU(0.01) -> nxemb.
+
+    Conditioning vector for UNconditional (prior) sampling; the reference
+    feeds fresh N(0, I) noise through this MLP (`diffusion_net.py:577-581`,
+    note the default 0.01 LeakyReLU slope there, unlike the 0.2 used
+    elsewhere).
+    """
+
+    nxemb: int
+    width: int = 128
+
+    @nn.compact
+    def __call__(self, noise: jax.Array) -> jax.Array:
+        h = nn.Dense(
+            self.width,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(noise.shape[-1]),
+        )(noise)
+        h = nn.leaky_relu(h, negative_slope=0.01)
+        return nn.Dense(
+            self.nxemb,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(h.shape[-1]),
+        )(h)
+
+
+class DAMCAmortizer(nn.Module):
+    """Q: amortized sampler of p(z | x) (and p(z) when unconditioned).
+
+    dataset='toy' selects the MLP encoder; otherwise the conv encoder family.
+    """
+
+    nz: int
+    nxemb: int = 1024
+    ntemb: int = 128
+    nf: int = 4
+    nif: int = 64
+    nc: int = 3
+    dataset: str = "cifar10"
+    n_interval: int = 100
+    logsnr_min: float = -5.1
+    logsnr_max: float = 9.8
+    var_type: str = "large"
+    with_noise: bool = True
+    residual: bool = True
+    cond_w: float = 0.0
+
+    def setup(self):
+        if self.dataset == "toy":
+            self.encoder = MLPEncoder(nemb=self.nxemb)
+        else:
+            self.encoder = make_encoder(self.dataset, nemb=self.nxemb, nif=self.nif)
+        self.prior_emb = PriorEmbedder(nxemb=self.nxemb)
+        self.p = LatentDenoiser(
+            nz=self.nz,
+            nxemb=self.nxemb,
+            ntemb=self.ntemb,
+            nf=self.nf,
+            residual=self.residual,
+        )
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        return self.encoder(x)
+
+    def prior_embed(self, noise: jax.Array) -> jax.Array:
+        return self.prior_emb(noise)
+
+    def denoise(self, z: jax.Array, logsnr: jax.Array, xemb: jax.Array) -> jax.Array:
+        return self.p(z, logsnr, xemb)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """Init-path only: touches every submodule so `.init` creates all params."""
+        xemb = self.encoder(x)
+        b = x.shape[0]
+        _ = self.prior_emb(jnp.zeros((b, self.nz)))
+        z = jnp.zeros((b, self.nz))
+        logsnr = jnp.zeros((b,))
+        return self.p(z, logsnr, xemb)
+
+    def loss(
+        self,
+        key: jax.Array,
+        z: jax.Array,
+        x: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Masked denoising score-matching loss (per-sample, shape (B,)).
+
+        Reference `calculate_loss` (`diffusion_net.py:624-645`): embed x (or a
+        prior embedding of fresh noise where mask==0 / x is None), draw
+        u ~ U[0,1] -> logsnr, forward-diffuse z, and regress the noise:
+        0.5 * ||eps - eps_hat||^2.
+        """
+        b = z.shape[0]
+        key_prior, key_u, key_eps = jax.random.split(key, 3)
+
+        if x is not None:
+            xemb = self.encoder(x)
+            if mask is not None:
+                prior_emb = self.prior_emb(
+                    jax.random.normal(key_prior, (b, self.nz), z.dtype)
+                )
+                xemb = xemb * mask + prior_emb * (1.0 - mask)
+        else:
+            assert mask is None
+            xemb = self.prior_emb(jax.random.normal(key_prior, (b, self.nz), z.dtype))
+
+        u = jax.random.uniform(key_u, (b,))
+        logsnr = logsnr_schedule(u, self.logsnr_min, self.logsnr_max)
+        zt_dist = diffusion_forward(z, logsnr[:, None])
+        eps = jax.random.normal(key_eps, z.shape, z.dtype)
+        zt = zt_dist.mean + zt_dist.std.astype(z.dtype) * eps
+        eps_pred = self.p(zt, logsnr, xemb)
+        return 0.5 * jnp.sum((eps - eps_pred) ** 2, axis=-1)
+
+
+def sample_q(
+    params,
+    model: DAMCAmortizer,
+    key: jax.Array,
+    x: Optional[jax.Array] = None,
+    b: Optional[int] = None,
+    cond_w: float = 0.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Draw z ~ Q(. | x) (posterior) or z ~ Q(.) (prior when x is None).
+
+    Pure function of (params, key): jit/pjit-friendly; the reverse sweep is a
+    `lax.scan` (see `ops/reverse_diffusion.py`). Mirrors `_netQ_U.forward`
+    (`diffusion_net.py:585-622`) including optional classifier-free guidance.
+    """
+    key_init, key_emb, key_sweep = jax.random.split(key, 3)
+
+    if x is not None:
+        b = x.shape[0]
+        xemb = model.apply(params, x, method="encode")
+    else:
+        assert b is not None
+        noise = jax.random.normal(key_emb, (b, model.nz), dtype)
+        xemb = model.apply(params, noise, method="prior_embed")
+
+    z_init = jax.random.normal(key_init, (b, model.nz), dtype)
+
+    def denoise_fn(z, logsnr):
+        return model.apply(params, z, logsnr, xemb, method="denoise")
+
+    guided = None
+    if x is not None and cond_w > 0:
+
+        def guided(step_key, z, logsnr):
+            noise = jax.random.normal(step_key, (b, model.nz), dtype)
+            xemb_unc = model.apply(params, noise, method="prior_embed")
+            return model.apply(params, z, logsnr, xemb_unc, method="denoise")
+
+    return reverse_diffusion_sample(
+        key_sweep,
+        denoise_fn,
+        z_init,
+        n_interval=model.n_interval,
+        logsnr_min=model.logsnr_min,
+        logsnr_max=model.logsnr_max,
+        var_type=model.var_type,
+        with_noise=model.with_noise,
+        guided_denoise_fn=guided,
+        cond_w=cond_w,
+    )

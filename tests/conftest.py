@@ -1,0 +1,21 @@
+"""Test config: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip sharding is validated on virtual CPU devices (no TPU pod needed),
+per SURVEY.md §4. Must run before any jax import.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
