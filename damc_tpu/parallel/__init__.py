@@ -1,0 +1,23 @@
+"""Mesh / sharding helpers for multi-chip data-parallel chains."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,71 @@
+"""Device mesh + sharding helpers (the reference has NO distributed layer).
+
+Greenfield per SURVEY.md §2.6: data parallelism over TPU chips via a
+(`data`, `model`) mesh; Langevin/diffusion chains are a batch axis that
+shards over `data`, params are replicated, and XLA inserts the gradient
+psum over ICI. The `model` axis is kept for future model-sharding of the
+large StyleGAN synthesis stack (N/A for the core nets, documented in
+SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (data, model) mesh over the available devices.
+
+    Defaults to all devices on the data axis — chain parallelism is the
+    dominant parallel structure in DAMC (B posterior + 2B prior chains).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    mesh_devices = mesh_utils.create_device_mesh(
+        (n_data, n_model), devices=devices[: n_data * n_model]
+    )
+    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (chain/batch) axis over `data`."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (params, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with the leading axis sharded over `data`."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated over the mesh."""
+    return jax.device_put(tree, replicated(mesh))
+
+
+def pad_to_multiple(array: np.ndarray, multiple: int, axis: int = 0):
+    """Pad the batch axis so it divides the data-axis size; returns (padded, n_real)."""
+    n = array.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return array, n
+    pad_width = [(0, 0)] * array.ndim
+    pad_width[axis] = (0, rem)
+    return np.pad(array, pad_width, mode="edge"), n

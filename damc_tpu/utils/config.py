@@ -1,0 +1,158 @@
+"""Typed configuration tree with per-workload presets.
+
+Replaces the reference's five ~40-flag argparse blocks
+(`/root/reference/workspace/train_gen_recon.py:351-406` etc.) with one
+dataclass tree. Fixes the reference's `type=bool` argparse footgun (any
+non-empty string parsed truthy) by construction. Per-dataset nz/ngf overrides
+follow `train_gen_recon.py:58-107`; anomaly/toy deltas follow
+`train_anomaly_det.py` / `toy_example/toy_example.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    dataset: str = "cifar10"
+    nz: int = 128  # latent dim
+    ngf: int = 128  # generator base width
+    nif: int = 64  # encoder base width
+    ndf: int = 200  # EBM hidden width
+    nxemb: int = 1024  # x-embedding dim in Q
+    ntemb: int = 128  # t-embedding dim in Q
+    nf: int = 4  # denoiser width factor
+    nc: int = 3  # image channels
+    image_size: int = 32
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    n_interval: int = 100  # reverse-diffusion steps (posterior & prior)
+    logsnr_min: float = -5.1
+    logsnr_max: float = 9.8
+    residual: bool = True  # denoiser predicts a residual on z
+    var_type: str = "large"
+    with_noise: bool = True  # stochastic ancestral steps in Q.sample
+    p_mask: float = 0.2  # joint cond/uncond training mask prob
+    cond_w: float = 0.0  # classifier-free guidance weight
+
+
+@dataclass(frozen=True)
+class MCMCConfig:
+    g_l_steps: int = 30  # posterior Langevin steps (training)
+    g_l_step_size: float = 0.1
+    g_l_with_noise: bool = True
+    g_llhd_sigma: float = 0.1
+    e_l_steps: int = 60  # prior Langevin steps (training)
+    e_l_step_size: float = 0.4
+    e_l_with_noise: bool = True
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    g_lr: float = 2e-4
+    e_lr: float = 1e-4
+    q_lr: float = 2e-4
+    betas: Tuple[float, float] = (0.5, 0.999)
+    q_weight_decay: float = 1e-4  # 0 for anomaly, 1e-2 for toy
+    g_max_norm: float = 100.0
+    e_max_norm: float = 100.0
+    q_max_norm: float = 100.0
+    # multiplicative decay every `lr_decay_every` steps, floored at lr_floor
+    lr_decay: float = 0.99
+    lr_decay_every: int = 1000
+    lr_floor: float = 1e-5
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    seed: int = 1
+    batch_size: int = 128
+    iterations: int = 1_000_000
+    n_fid_samples: int = 50_000
+    q_updates: int = 6  # inner Q updates per iteration
+    ema_rho: float = 0.005  # Q -> Q_ema mixing (0.75 for toy)
+    ema_every: int = 10
+    # 'double' = 2B prior chains (gen_recon, train_gen_recon.py:206-209),
+    # 'single' = B chains (anomaly), 'none' = no prior sampling (toy)
+    prior_chains: str = "double"
+    q_loss_both_branches: bool = False  # anomaly trains both mask branches
+    update_g: bool = True
+    update_e: bool = True
+    print_every: int = 100
+    plot_every: int = 1000
+    ckpt_every: int = 50_000
+    eval_every: int = 100
+    log_path: str = "logs"
+    data_path: str = "data"
+    resume_path: Optional[str] = None
+    heldout_digit: int = 1  # anomaly detection held-out class
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    mcmc: MCMCConfig = field(default_factory=MCMCConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+def _r(cfg, section: str, **kw):
+    return dataclasses.replace(cfg, **{section: dataclasses.replace(getattr(cfg, section), **kw)})
+
+
+def preset(name: str) -> Config:
+    """Workload presets mirroring the reference CLI defaults + README recipes."""
+    cfg = Config()
+    if name == "cifar10":
+        cfg = _r(cfg, "model", dataset="cifar10", nz=128, ngf=128, image_size=32)
+        return cfg
+    if name == "svhn":
+        cfg = _r(cfg, "model", dataset="svhn", nz=100, ngf=64, image_size=32)
+        return cfg
+    if name == "celeba64":
+        cfg = _r(cfg, "model", dataset="celeba64", nz=100, ngf=128, image_size=64)
+        return cfg
+    if name == "celebaHQ":
+        cfg = _r(cfg, "model", dataset="celebaHQ", nz=128, ngf=128, image_size=256)
+        cfg = _r(cfg, "mcmc", g_llhd_sigma=1.0)
+        return cfg
+    if name == "mnist_anomaly":
+        # train_anomaly_det.py: nz=8, ngf=64, nif=64, nxemb=128, wd=0,
+        # single prior chains, dual-branch Q loss, eval every 500.
+        cfg = _r(cfg, "model", dataset="mnist", nz=8, ngf=64, nxemb=128, nc=1, image_size=28)
+        cfg = _r(cfg, "optim", q_weight_decay=0.0)
+        cfg = _r(
+            cfg,
+            "train",
+            prior_chains="single",
+            q_loss_both_branches=True,
+            eval_every=500,
+        )
+        return cfg
+    if name == "toy":
+        # toy_example.py: nz=2, nxemb=128, wd=1e-2, rho=0.75, p_mask=0.1,
+        # 50-step posterior Langevin with sigma=0.25, no EBM, Q-only updates.
+        cfg = _r(cfg, "model", dataset="toy", nz=2, nxemb=128, nc=2)
+        cfg = _r(cfg, "diffusion", p_mask=0.1)
+        cfg = _r(cfg, "mcmc", g_l_steps=50, g_llhd_sigma=0.25)
+        cfg = _r(cfg, "optim", q_weight_decay=1e-2)
+        cfg = _r(
+            cfg,
+            "train",
+            batch_size=500,
+            ema_rho=0.75,
+            prior_chains="none",
+            update_g=False,
+            update_e=False,
+        )
+        return cfg
+    raise ValueError(f"unknown preset {name!r}")

@@ -1,0 +1,98 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Validates that the full train step and the Langevin/reverse-diffusion kernels
+compile and execute with the batch (chain) axis sharded over `data` and
+params replicated — the DP design of SURVEY.md §2.6.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from damc_tpu.ops import langevin_sample, prior_energy
+from damc_tpu.parallel import batch_sharding, make_mesh, replicate, replicated, shard_batch
+from damc_tpu.train import create_state, make_train_step
+from damc_tpu.utils import preset
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data", "model")
+
+
+def test_langevin_sharded_chains():
+    mesh = make_mesh()
+    energy = lambda z: 0.5 * jnp.sum(z * z, axis=-1)
+    z0 = shard_batch(mesh, np.ones((16, 4), np.float32))
+    run = jax.jit(
+        lambda key, z: langevin_sample(key, z, energy, 8, 0.2, with_noise=True)[0],
+        out_shardings=batch_sharding(mesh),
+    )
+    z_final = run(jax.random.PRNGKey(0), z0)
+    assert z_final.shape == (16, 4)
+    assert z_final.sharding.is_equivalent_to(batch_sharding(mesh), 2)
+    assert np.all(np.isfinite(np.asarray(z_final)))
+
+
+def test_train_step_data_parallel():
+    cfg = preset("svhn")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, ngf=8, nif=8, nxemb=16, ntemb=16, nz=16),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=2),
+        mcmc=dataclasses.replace(cfg.mcmc, g_l_steps=2, e_l_steps=2),
+        train=dataclasses.replace(cfg.train, batch_size=8, q_updates=1),
+    )
+    mesh = make_mesh()
+    state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
+    state = replicate(mesh, state)
+    x = shard_batch(
+        mesh,
+        np.random.RandomState(0).uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32),
+    )
+    step = jax.jit(
+        make_train_step(models, opts, cfg),
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    new_state, metrics = step(state, x)
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    # Params must remain replicated across all 8 devices.
+    leaf = jax.tree.leaves(new_state.params_q)[0]
+    assert leaf.sharding.is_equivalent_to(replicated(mesh), leaf.ndim)
+
+
+def test_data_parallel_matches_single_device():
+    """DP train step must produce identical params to the unsharded run."""
+    cfg = preset("toy")
+    cfg = dataclasses.replace(
+        cfg,
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=2),
+        mcmc=dataclasses.replace(cfg.mcmc, g_l_steps=2),
+        train=dataclasses.replace(cfg.train, batch_size=8, q_updates=1),
+    )
+    state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
+    x = np.random.RandomState(0).randn(8, 2).astype(np.float32)
+
+    step_single = jax.jit(make_train_step(models, opts, cfg))
+    s_single, m_single = step_single(state, jnp.asarray(x))
+
+    mesh = make_mesh()
+    step_dp = jax.jit(
+        make_train_step(models, opts, cfg),
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    s_dp, m_dp = step_dp(replicate(mesh, state), shard_batch(mesh, x))
+
+    np.testing.assert_allclose(
+        float(m_single["q_loss"]), float(m_dp["q_loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_single.params_q), jax.tree.leaves(s_dp.params_q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -1,0 +1,107 @@
+"""Integration tests for the fused jitted train step (all workload variants)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from damc_tpu.train import create_state, lr_schedule, make_train_step
+from damc_tpu.utils import preset
+
+
+def tiny(cfg, **train_kw):
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, ngf=8, nif=8, nxemb=16, ntemb=16, nz=min(cfg.model.nz, 16)
+        ),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=3),
+        mcmc=dataclasses.replace(cfg.mcmc, g_l_steps=2, e_l_steps=2),
+        train=dataclasses.replace(cfg.train, batch_size=4, q_updates=2, **train_kw),
+    )
+    return cfg
+
+
+def params_changed(a, b):
+    return any(
+        not np.allclose(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_toy_step_updates_q_only():
+    cfg = tiny(preset("toy"))
+    state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_train_step(models, opts, cfg))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    g_before = jax.tree.map(jnp.copy, state.params_g)
+    new_state, metrics = step(state, x)
+    assert params_changed(state.params_q, new_state.params_q)
+    assert not params_changed(g_before, new_state.params_g)  # G frozen in toy
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["q_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_gen_recon_step_updates_all_nets():
+    cfg = tiny(preset("svhn"))
+    state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_train_step(models, opts, cfg))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3), minval=-1, maxval=1)
+    new_state, metrics = step(state, x)
+    assert params_changed(state.params_g, new_state.params_g)
+    assert params_changed(state.params_e, new_state.params_e)
+    assert params_changed(state.params_q, new_state.params_q)
+    for k in ("g_loss", "q_loss", "e_pos", "e_neg", "prior_energy_final"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_anomaly_step_dual_branch():
+    cfg = tiny(preset("mnist_anomaly"))
+    assert cfg.train.q_loss_both_branches and cfg.train.prior_chains == "single"
+    state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_train_step(models, opts, cfg))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 28, 28, 1), minval=-1, maxval=1)
+    new_state, metrics = step(state, x)
+    assert np.isfinite(float(metrics["q_loss"]))
+
+
+def test_ema_updates_only_on_schedule():
+    cfg = tiny(preset("toy"))
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_every=2, ema_rho=0.5)
+    )
+    state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_train_step(models, opts, cfg))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+
+    ema0 = jax.tree.map(jnp.copy, state.params_q_ema)
+    state1, _ = step(state, x)  # step 0 -> (0+1) % 2 == 0? no wait: (0+1)%2=1 != 0
+    assert not params_changed(ema0, state1.params_q_ema)
+    state2, _ = step(state1, x)  # (1+1)%2 == 0 -> EMA fires
+    assert params_changed(ema0, state2.params_q_ema)
+
+
+def test_step_is_deterministic_given_state():
+    cfg = tiny(preset("toy"))
+    state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_train_step(models, opts, cfg))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    s1, m1 = step(state, x)
+    s2, m2 = step(state, x)
+    np.testing.assert_array_equal(
+        np.asarray(m1["q_loss"]), np.asarray(m2["q_loss"])
+    )
+    for a, b in zip(jax.tree.leaves(s1.params_q), jax.tree.leaves(s2.params_q)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lr_schedule_matches_reference_decay():
+    cfg = preset("cifar10")
+    sched = lr_schedule(2e-4, cfg)
+    np.testing.assert_allclose(float(sched(0)), 2e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(999)), 2e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(1000)), 2e-4 * 0.99, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(5500)), 2e-4 * 0.99**5, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(10_000_000)), 1e-5, rtol=1e-5)  # floor
