@@ -1,0 +1,132 @@
+"""Frechet Inception Distance: feature statistics + Frechet distance.
+
+TPU-native replacement for the `pytorch_fid_wrapper` pipeline the reference
+leans on (`/root/reference/workspace/src/MCMC.py:130-144`,
+`train_gen_recon.py:114-126`): features come from a pluggable extractor (the
+JAX InceptionV3 in `inception.py` once weights are available, or any callable
+mapping images -> (N, D) features), stats accumulate in a streaming Welford
+form so the 50k-sample FID sweep never materializes the feature matrix, and
+the Frechet distance uses `scipy.linalg.sqrtm` exactly like pytorch-fid.
+
+Images are expected in [0, 1] (the reference clamps [-1,1] -> [0,1] first,
+`MCMC.py:138` — see `train/sampling.py:to_unit_range`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FeatureFn = Callable[[jax.Array], jax.Array]  # images (B,H,W,C) -> (B, D)
+
+
+class RunningStats:
+    """Streaming mean/covariance accumulator (host-side, float64)."""
+
+    def __init__(self, dim: int):
+        self.n = 0
+        self.sum = np.zeros((dim,), np.float64)
+        self.outer = np.zeros((dim, dim), np.float64)
+
+    def update(self, feats: np.ndarray) -> None:
+        feats = np.asarray(feats, np.float64)
+        self.n += feats.shape[0]
+        self.sum += feats.sum(axis=0)
+        self.outer += feats.T @ feats
+
+    def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (mu, sigma) with the unbiased covariance (np.cov ddof=1,
+        matching pytorch-fid)."""
+        assert self.n >= 2, "need at least 2 samples for covariance"
+        mu = self.sum / self.n
+        cov = (self.outer - self.n * np.outer(mu, mu)) / (self.n - 1)
+        return mu, cov
+
+
+def compute_stats(
+    feature_fn: FeatureFn,
+    batches: Iterable[np.ndarray],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) of extractor features over an iterable of image batches."""
+    stats: Optional[RunningStats] = None
+    for batch in batches:
+        feats = np.asarray(feature_fn(jnp.asarray(batch)))
+        if stats is None:
+            stats = RunningStats(feats.shape[-1])
+        stats.update(feats)
+    assert stats is not None, "no batches provided"
+    return stats.finalize()
+
+
+def frechet_distance(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray, eps: float = 1e-6
+) -> float:
+    """d^2 = ||mu1 - mu2||^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)).
+
+    Mirrors pytorch-fid's calculate_frechet_distance numerics (sqrtm with an
+    eps*I retry on singular products, imaginary-part check).
+    """
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"sqrtm produced large imaginary component {m}")
+        covmean = covmean.real
+
+    return float(
+        diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
+    )
+
+
+def fid_from_samples(
+    feature_fn: FeatureFn,
+    sample_batches: Iterable[np.ndarray],
+    real_mu: np.ndarray,
+    real_sigma: np.ndarray,
+) -> float:
+    """FID of generated batches against precomputed real stats
+    (the reference's `pfw.fid(..., real_m, real_s)` path)."""
+    mu, sigma = compute_stats(feature_fn, sample_batches)
+    return frechet_distance(mu, sigma, real_mu, real_sigma)
+
+
+def make_random_feature_fn(
+    key: jax.Array, image_shape: Tuple[int, int, int], dim: int = 192
+) -> FeatureFn:
+    """Deterministic random-projection conv feature extractor.
+
+    Weight-free stand-in used by tests and by environments without the
+    InceptionV3 checkpoint: a fixed random strided conv + pooling pyramid.
+    NOT comparable to Inception-FID numbers, but a valid Frechet metric
+    (distinguishes distributions, zero for identical ones).
+    """
+    h, w, c = image_shape
+    k1, k2 = jax.random.split(key)
+    w1 = jax.random.normal(k1, (4, 4, c, 64)) / np.sqrt(16 * c)
+    w2 = jax.random.normal(k2, (4, 4, 64, dim)) / np.sqrt(16 * 64)
+
+    @jax.jit
+    def feature_fn(x: jax.Array) -> jax.Array:
+        x = x.astype(jnp.float32) * 2.0 - 1.0
+        y = jax.lax.conv_general_dilated(
+            x, w1, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.nn.relu(y)
+        y = jax.lax.conv_general_dilated(
+            y, w2, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return jnp.mean(y, axis=(1, 2))
+
+    return feature_fn

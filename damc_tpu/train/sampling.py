@@ -1,0 +1,125 @@
+"""Generation / reconstruction / scoring pipelines built on the core kernels.
+
+TPU-native equivalents of `MCMC.py:119-176` (EBM-prior and DAMC-prior sample
+generation) and the eval loops of `train_gen_recon.py:296-348`,
+`train_anomaly_det.py:206-248`, `eval_*.py` — all jitted, batched, and free of
+per-step host sync.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.amortizer import sample_q
+from ..ops.langevin import langevin_sample, posterior_energy, prior_energy
+from ..utils.config import Config
+from .state import DAMCState, ModelBundle
+
+
+def gen_samples_ebm_prior(
+    key: jax.Array,
+    state: DAMCState,
+    models: ModelBundle,
+    cfg: Config,
+    batch: int,
+) -> jax.Array:
+    """x = G(z), z ~ short-run Langevin on the EBM prior from N(0, I).
+
+    (Reference `gen_samples`, `MCMC.py:119-128`.) Returns images in [-1, 1].
+    """
+    mc = cfg.mcmc
+    k_init, k_chain = jax.random.split(key)
+    z0 = jax.random.normal(k_init, (batch, cfg.model.nz))
+    ebm_fn = lambda z: models.ebm.apply(jax.lax.stop_gradient(state.params_e), z)
+    z, _ = langevin_sample(
+        k_chain,
+        z0,
+        prior_energy(ebm_fn),
+        mc.e_l_steps,
+        mc.e_l_step_size,
+        mc.e_l_with_noise,
+    )
+    return models.generator.apply(state.params_g, z)
+
+
+def gen_samples_damc_prior(
+    key: jax.Array,
+    state: DAMCState,
+    models: ModelBundle,
+    cfg: Config,
+    batch: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """x = G(z), z ~ Q(.) — one amortized reverse-diffusion pass.
+
+    (Reference `gen_samples_with_diffusion_prior`, `MCMC.py:146-150`.)
+    """
+    z = sample_q(state.params_q, models.amortizer, key, x=None, b=batch)
+    return models.generator.apply(state.params_g, z), z
+
+
+def reconstruct(
+    key: jax.Array,
+    state: DAMCState,
+    models: ModelBundle,
+    cfg: Config,
+    x: jax.Array,
+    langevin_steps: int = 10,
+) -> Tuple[jax.Array, jax.Array]:
+    """Posterior inference for reconstruction: Q(x) init + short NOISELESS
+    Langevin refinement, then decode (`train_gen_recon.py:324-348`,
+    10 steps at train-eval; 5 for anomaly eval).
+
+    Returns (x_hat, z).
+    """
+    mc = cfg.mcmc
+    k_q, k_l = jax.random.split(key)
+    z0 = sample_q(state.params_q, models.amortizer, k_q, x=x)
+    gen_fn = lambda z: models.generator.apply(jax.lax.stop_gradient(state.params_g), z)
+    if models.ebm is not None:
+        ebm_fn = lambda z: models.ebm.apply(jax.lax.stop_gradient(state.params_e), z)
+        energy = posterior_energy(gen_fn, ebm_fn, x, mc.g_llhd_sigma)
+    else:
+        from ..ops.langevin import gaussian_posterior_energy
+
+        energy = gaussian_posterior_energy(gen_fn, x, mc.g_llhd_sigma)
+    z, _ = langevin_sample(
+        k_l, z0, energy, langevin_steps, mc.g_l_step_size, with_noise=False
+    )
+    x_hat = models.generator.apply(state.params_g, z)
+    return x_hat, z
+
+
+def recon_mse(x_hat: jax.Array, x: jax.Array) -> jax.Array:
+    """Per-image mean-square error, summed over the batch
+    (`train_gen_recon.py:342`); divide by dataset size outside."""
+    b = x.shape[0]
+    return jnp.sum(jnp.mean((x_hat - x).reshape(b, -1) ** 2, axis=-1))
+
+
+def anomaly_scores(
+    key: jax.Array,
+    state: DAMCState,
+    models: ModelBundle,
+    cfg: Config,
+    x: jax.Array,
+    langevin_steps: int = 10,
+) -> jax.Array:
+    """Anomaly score: ||x_hat - x||^2 + E(z) + 0.5 ||z||^2 after Q init +
+    noiseless posterior Langevin (`train_anomaly_det.py:206-248`; higher =
+    more anomalous ... the reference uses -score as the PR target, see
+    `eval_anomaly_det.py:108-126`)."""
+    x_hat, z = reconstruct(key, state, models, cfg, x, langevin_steps)
+    b = x.shape[0]
+    recon = jnp.sum((x_hat - x).reshape(b, -1) ** 2, axis=-1)
+    en = models.ebm.apply(state.params_e, z)
+    return recon + en + 0.5 * jnp.sum(z * z, axis=-1)
+
+
+def to_unit_range(x: jax.Array) -> jax.Array:
+    """[-1, 1] -> [0, 1] with clamping, the FID input convention
+    (`MCMC.py:138`)."""
+    return (1.0 + jnp.clip(x, -1.0, 1.0)) / 2.0

@@ -18,4 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize imports jax at interpreter startup with the
+# axon TPU platform pre-registered, so JAX_PLATFORMS env vars set here are
+# too late — force the platform through the live config instead. Tests must
+# run on the virtual 8-device CPU backend deterministically.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: the suite compiles many scan/conv programs;
+# cache them across runs so re-runs are fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
