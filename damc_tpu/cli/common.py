@@ -1,0 +1,165 @@
+"""Shared CLI plumbing: flag -> Config overrides, dataset loading.
+
+The flag inventory mirrors the reference argparse blocks (SURVEY.md §5)
+while the values live in the typed Config tree.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime as dt
+import os
+import os.path as osp
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..data.datasets import (
+    load_cifar10,
+    load_image_folder,
+    load_mnist_anomaly,
+    load_svhn,
+)
+from ..utils.config import Config, preset
+
+
+def add_common_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--dataset", type=str, default="cifar10")
+    p.add_argument("--log_path", type=str, default="logs")
+    p.add_argument("--data_path", type=str, default="data")
+    p.add_argument("--resume_path", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--n_fid_samples", type=int, default=None)
+    # architecture
+    p.add_argument("--nz", type=int, default=None)
+    p.add_argument("--ngf", type=int, default=None)
+    p.add_argument("--nif", type=int, default=None)
+    p.add_argument("--nxemb", type=int, default=None)
+    p.add_argument("--ntemb", type=int, default=None)
+    # diffusion
+    p.add_argument("--n_interval", type=int, default=None)
+    p.add_argument("--logsnr_min", type=float, default=None)
+    p.add_argument("--logsnr_max", type=float, default=None)
+    p.add_argument("--p_mask", type=float, default=None)
+    p.add_argument("--cond_w", type=float, default=None)
+    # mcmc
+    p.add_argument("--g_l_steps", type=int, default=None)
+    p.add_argument("--g_l_step_size", type=float, default=None)
+    p.add_argument("--g_llhd_sigma", type=float, default=None)
+    p.add_argument("--e_l_steps", type=int, default=None)
+    p.add_argument("--e_l_step_size", type=float, default=None)
+    # optim
+    p.add_argument("--g_lr", type=float, default=None)
+    p.add_argument("--e_lr", type=float, default=None)
+    p.add_argument("--q_lr", type=float, default=None)
+    # misc
+    p.add_argument("--label", type=int, default=None, help="anomaly held-out digit")
+    p.add_argument("--use_mesh", action="store_true", help="data-parallel over all devices")
+
+
+def config_from_args(args, preset_name: Optional[str] = None) -> Config:
+    cfg = preset(preset_name or args.dataset)
+
+    def over(section, **kw):
+        nonlocal cfg
+        kw = {k: v for k, v in kw.items() if v is not None}
+        if kw:
+            cfg = dataclasses.replace(
+                cfg, **{section: dataclasses.replace(getattr(cfg, section), **kw)}
+            )
+
+    over("model", nz=args.nz, ngf=args.ngf, nif=args.nif, nxemb=args.nxemb, ntemb=args.ntemb)
+    over(
+        "diffusion",
+        n_interval=args.n_interval,
+        logsnr_min=args.logsnr_min,
+        logsnr_max=args.logsnr_max,
+        p_mask=args.p_mask,
+        cond_w=args.cond_w,
+    )
+    over(
+        "mcmc",
+        g_l_steps=args.g_l_steps,
+        g_l_step_size=args.g_l_step_size,
+        g_llhd_sigma=args.g_llhd_sigma,
+        e_l_steps=args.e_l_steps,
+        e_l_step_size=args.e_l_step_size,
+    )
+    over("optim", g_lr=args.g_lr, e_lr=args.e_lr, q_lr=args.q_lr)
+    over(
+        "train",
+        seed=args.seed,
+        batch_size=args.batch_size,
+        iterations=args.iterations,
+        n_fid_samples=args.n_fid_samples,
+        log_path=args.log_path,
+        data_path=args.data_path,
+        resume_path=args.resume_path,
+        heldout_digit=args.label,
+    )
+    return cfg
+
+
+def make_log_dir(cfg: Config) -> str:
+    stamp = dt.datetime.now().strftime("%Y%m%d_%H%M%S")
+    log_dir = osp.join(cfg.train.log_path, cfg.model.dataset, stamp)
+    os.makedirs(log_dir, exist_ok=True)
+    return log_dir
+
+
+def to_pm1(u8: np.ndarray) -> np.ndarray:
+    return u8.astype(np.float32) / 255.0 * 2.0 - 1.0
+
+
+def load_dataset(cfg: Config) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(train_images, fid_reference_images, mse_eval_images) in [-1, 1].
+
+    Split roles follow `train_gen_recon.py:58-111`: FID stats come from the
+    train split; recon MSE from the held-out split.
+    """
+    d, root = cfg.model.dataset, cfg.train.data_path
+    if d == "cifar10":
+        tr = to_pm1(load_cifar10(root, "train"))
+        te = to_pm1(load_cifar10(root, "test"))
+        return tr, tr, te
+    if d == "svhn":
+        tr = to_pm1(load_svhn(root, "train"))
+        te = to_pm1(load_svhn(root, "test"))
+        return tr, tr, te
+    if d == "celeba64":
+        tr = to_pm1(load_image_folder(osp.join(root, "celeba64_train"), 64))
+        te = to_pm1(load_image_folder(osp.join(root, "celeba64_test"), 64))
+        return tr, tr, te
+    if d == "celebaHQ":
+        tr = to_pm1(load_image_folder(osp.join(root, "train"), 256))
+        te = to_pm1(load_image_folder(osp.join(root, "test"), 256))
+        return tr, tr, te
+    if d == "mnist":
+        hx, _ = load_mnist_anomaly(root, cfg.train.heldout_digit, "train")
+        tx, ty = load_mnist_anomaly(root, cfg.train.heldout_digit, "test")
+        return hx, tx, ty  # anomaly: (train, test_images, test_labels)
+    raise ValueError(f"unknown dataset {d!r}")
+
+
+def make_feature_fn(cfg: Config):
+    """InceptionV3 features when weights are available, else the random-conv
+    fallback (clearly labeled)."""
+    import jax
+
+    from ..metrics.fid import make_random_feature_fn
+    from ..models.inception import try_load_inception_feature_fn
+
+    fn = try_load_inception_feature_fn()
+    if fn is not None:
+        return fn
+    print(
+        "[damc] WARNING: InceptionV3 weights unavailable — using the "
+        "random-feature Frechet metric (NOT comparable to published FID)."
+    )
+    return make_random_feature_fn(
+        jax.random.PRNGKey(0),
+        (cfg.model.image_size, cfg.model.image_size, cfg.model.nc),
+    )

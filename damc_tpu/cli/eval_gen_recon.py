@@ -1,0 +1,66 @@
+"""CLI: evaluate a trained gen_recon checkpoint (FID + recon MSE).
+
+Mirrors `/root/reference/workspace/eval_gen_recon.py`: loads the best
+checkpoint, reports FID via the DAMC prior AND via EBM-prior Langevin
+(e_l_steps=100 at eval, `eval_gen_recon.py:252`), plus test-set recon MSE
+(Q init + 10-step noiseless Langevin).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+
+from .common import add_common_flags, config_from_args, load_dataset, make_feature_fn
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_flags(p)
+    p.add_argument("--ckpt_dir", type=str, required=True)
+    p.add_argument("--ckpt_name", type=str, default="best")
+    args = p.parse_args(argv)
+
+    cfg = config_from_args(args)
+    if args.e_l_steps is None:  # eval default: 100 prior Langevin steps
+        cfg = dataclasses.replace(
+            cfg, mcmc=dataclasses.replace(cfg.mcmc, e_l_steps=100)
+        )
+
+    train_images, fid_images, mse_images = load_dataset(cfg)
+    feature_fn = make_feature_fn(cfg)
+
+    from ..metrics.fid import compute_stats
+    from ..train.gen_recon import evaluate_fid, evaluate_mse
+    from ..train.state import create_state
+    from ..utils.checkpoint import restore_checkpoint
+
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    state = restore_checkpoint(args.ckpt_dir, args.ckpt_name, state)
+    print(f"[damc] restored step {int(state.step)} from {args.ckpt_dir}/{args.ckpt_name}")
+
+    unit = (fid_images + 1.0) / 2.0
+    real_mu, real_sigma = compute_stats(
+        feature_fn, (unit[i : i + 256] for i in range(0, len(unit), 256))
+    )
+    key = jax.random.PRNGKey(cfg.train.seed)
+    fid_damc = evaluate_fid(
+        key, state, models, cfg, feature_fn, real_mu, real_sigma,
+        cfg.train.n_fid_samples, cfg.train.batch_size, prior="damc",
+    )
+    fid_ebm = evaluate_fid(
+        jax.random.fold_in(key, 1), state, models, cfg, feature_fn, real_mu,
+        real_sigma, cfg.train.n_fid_samples, cfg.train.batch_size, prior="ebm",
+    )
+    mse = evaluate_mse(
+        jax.random.fold_in(key, 2), state, models, cfg, mse_images, 500
+    )
+    print(f"[damc] FID (DAMC prior): {fid_damc:.3f}")
+    print(f"[damc] FID (EBM prior):  {fid_ebm:.3f}")
+    print(f"[damc] recon MSE:        {mse:.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Dataset pipelines: MNIST anomaly splits, CIFAR-10, SVHN, image folders.
+
+Self-contained NumPy/PIL loaders (torchvision is not a dependency), feeding
+NHWC float32 batches in [-1, 1] — the reference's
+`Normalize((0.5,...), (0.5,...))` convention (`train_gen_recon.py:49-57`).
+
+* MNIST anomaly split reproduces `data/dataset.py:231-335` exactly: all
+  splits concatenated, held-out digit removed from train, RandomState(42)
+  permutations, 80/20 normal split, test = held-out normals + all anomalies,
+  labels adapted to {1 = anomalous, 0 = normal}, and the result cached to
+  `heldout_{label}_{split}.npy`.
+* CIFAR-10 reads the python pickle batches; SVHN reads the .mat files via
+  scipy (`train_gen_recon.py:58-69` used torchvision for both).
+* ImageFolder walks a directory of images via PIL with center-crop+resize
+  (CelebA-64/HQ, FFHQ; `train_gen_recon.py:70-107`).
+* LSUN's lmdb reader (`data/dataset.py:28-185`) is gated on the optional
+  `lmdb` module.
+
+The reference's `__getitem__` swallowed exceptions and silently substituted
+sample 0 (`data/dataset.py:317-324`) — a documented bug we do NOT copy;
+loading errors here raise.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import pickle
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# MNIST anomaly detection split (D1)
+# --------------------------------------------------------------------------
+
+def adapt_labels(true_labels: np.ndarray, label: int) -> np.ndarray:
+    """1 = anomalous (the held-out digit), 0 = normal
+    (`data/dataset.py:234-249`)."""
+    out = np.zeros_like(true_labels)
+    out[true_labels == label] = 1
+    return out
+
+
+def load_mnist_anomaly(
+    root: str, heldout: int, split: str, cache: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (images (N, 28, 28, 1) float32 in [-1, 1], labels (N,) int)."""
+    assert split in ("train", "test")
+    cache_path = osp.join(root, f"heldout_{heldout}_{split}.npy")
+    if cache and osp.exists(cache_path):
+        dataset = np.load(cache_path, allow_pickle=True).item()
+        imgs, lbls = dataset["img"], dataset["lbl"]
+    else:
+        data = dict(np.load(osp.join(root, "mnist.npz")))
+        full_x = np.concatenate(
+            [data["x_train"], data["x_test"], data["x_valid"]], axis=0
+        )
+        full_y = np.concatenate(
+            [data["y_train"], data["y_test"], data["y_valid"]], axis=0
+        )
+
+        normal_x = full_x[full_y != heldout]
+        normal_y = full_y[full_y != heldout]
+
+        rng = np.random.RandomState(42)
+        inds = rng.permutation(normal_x.shape[0])
+        normal_x, normal_y = normal_x[inds], normal_y[inds]
+
+        index = int(normal_x.shape[0] * 0.8)
+        if split == "train":
+            imgs, lbls = normal_x[:index], adapt_labels(normal_y[:index], heldout)
+        else:
+            test_x = np.concatenate(
+                [normal_x[index:], full_x[full_y == heldout]], axis=0
+            )
+            test_y = np.concatenate(
+                [normal_y[index:], full_y[full_y == heldout]], axis=0
+            )
+            inds = rng.permutation(test_x.shape[0])
+            imgs, lbls = test_x[inds], adapt_labels(test_y[inds], heldout)
+        if cache:
+            np.save(cache_path, {"img": imgs, "lbl": lbls})
+
+    imgs = np.asarray(imgs)
+    if imgs.dtype == np.uint8:
+        imgs = imgs.astype(np.float32) / 255.0
+    imgs = imgs.reshape(-1, 28, 28, 1).astype(np.float32)
+    return imgs * 2.0 - 1.0, np.asarray(lbls).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# CIFAR-10 / SVHN (self-contained readers)
+# --------------------------------------------------------------------------
+
+def load_cifar10(root: str, split: str = "train") -> np.ndarray:
+    """(N, 32, 32, 3) uint8 from the python-version pickle batches."""
+    base = osp.join(root, "cifar-10-batches-py")
+    files = (
+        [f"data_batch_{i}" for i in range(1, 6)] if split == "train" else ["test_batch"]
+    )
+    chunks = []
+    for f in files:
+        with open(osp.join(base, f), "rb") as fh:
+            entry = pickle.load(fh, encoding="latin1")
+        chunks.append(np.asarray(entry["data"], np.uint8))
+    data = np.concatenate(chunks, axis=0).reshape(-1, 3, 32, 32)
+    return data.transpose(0, 2, 3, 1)
+
+
+def load_svhn(root: str, split: str = "train") -> np.ndarray:
+    """(N, 32, 32, 3) uint8 from SVHN's {split}_32x32.mat."""
+    from scipy import io as sio
+
+    mat = sio.loadmat(osp.join(root, f"{split}_32x32.mat"))
+    return np.transpose(mat["X"], (3, 0, 1, 2)).astype(np.uint8)
+
+
+def load_image_folder(
+    root: str, size: int, limit: Optional[int] = None
+) -> np.ndarray:
+    """(N, size, size, 3) uint8 via PIL: shorter-side resize (torchvision
+    `Resize(size)` semantics) then center crop."""
+    from PIL import Image
+
+    exts = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+    paths = []
+    for dirpath, _, filenames in sorted(os.walk(root)):
+        for fn in sorted(filenames):
+            if fn.lower().endswith(exts):
+                paths.append(osp.join(dirpath, fn))
+    if limit is not None:
+        paths = paths[:limit]
+    if not paths:
+        raise FileNotFoundError(f"no images under {root}")
+    out = np.empty((len(paths), size, size, 3), np.uint8)
+    for i, p in enumerate(paths):
+        img = Image.open(p).convert("RGB")
+        w, h = img.size
+        scale = size / min(w, h)
+        img = img.resize((max(size, round(w * scale)), max(size, round(h * scale))), Image.BILINEAR)
+        w, h = img.size
+        left, top = (w - size) // 2, (h - size) // 2
+        out[i] = np.asarray(img.crop((left, top, left + size, top + size)))
+    return out
+
+
+def load_lsun(root: str, classes, size: int = 256):
+    """LSUN lmdb reader (reference `data/dataset.py:28-185`); requires the
+    optional `lmdb` package."""
+    try:
+        import lmdb  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "LSUN requires the `lmdb` package, which is not installed in "
+            "this environment; install it or convert the data to an image "
+            "folder and use load_image_folder()."
+        ) from e
+    raise NotImplementedError(
+        "lmdb available but LSUN reader not wired yet; convert to an image "
+        "folder and use load_image_folder()."
+    )
+
+
+# --------------------------------------------------------------------------
+# Batching
+# --------------------------------------------------------------------------
+
+class Loader:
+    """Epoch-shuffled batch iterator with optional horizontal-flip augment.
+
+    Yields (images float32 [-1,1] NHWC, indices) like the reference's patched
+    CIFAR10 (`data/dataset.py:192-225` returns (img, index)). Accepts uint8
+    [0,255] or float32 [-1,1] storage; converts per batch to keep the resident
+    copy small. Infinite iteration via `stream()` replaces the reference's
+    StopIteration/re-iter dance (`train_gen_recon.py:180-185`).
+    """
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: Optional[np.ndarray] = None,
+        batch_size: int = 128,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        augment_flip: bool = False,
+        seed: int = 0,
+    ):
+        self.images = images
+        self.labels = labels
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.augment_flip = augment_flip
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.images)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _to_float(self, batch: np.ndarray) -> np.ndarray:
+        if batch.dtype == np.uint8:
+            batch = batch.astype(np.float32) / 255.0 * 2.0 - 1.0
+        return np.ascontiguousarray(batch, np.float32)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.images)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            batch = self._to_float(self.images[idx])
+            if self.augment_flip:
+                flip = self._rng.rand(len(idx)) < 0.5
+                batch[flip] = batch[flip, :, ::-1]
+            lbl = self.labels[idx] if self.labels is not None else idx
+            yield batch, lbl
+
+    def stream(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Infinite epoch-cycling stream."""
+        while True:
+            yield from self
+
+
+def synthetic_mnist_npz(path: str, n_per_split=(600, 100, 100), seed: int = 0) -> None:
+    """Write a tiny fake mnist.npz (for tests / smoke runs without data)."""
+    rng = np.random.RandomState(seed)
+    out = {}
+    for split, n in zip(("train", "test", "valid"), n_per_split):
+        y = rng.randint(0, 10, size=n)
+        x = np.zeros((n, 784), np.float32)
+        # Give each digit a distinct blocky signature so models can separate.
+        for i, digit in enumerate(y):
+            img = rng.rand(28, 28) * 0.2
+            r, c = divmod(int(digit), 4)
+            img[r * 7 : r * 7 + 7, c * 7 : c * 7 + 7] += 0.8
+            x[i] = img.reshape(-1)
+        out[f"x_{split}"] = x.clip(0, 1)
+        out[f"y_{split}"] = y
+    np.savez(path, **out)

@@ -1,0 +1,111 @@
+"""MNIST anomaly-detection training driver (AUPRC workload).
+
+Host loop around the anomaly-variant train step — re-architecture of
+`train_anomaly_det.py:29-248`: single-B prior chains, dual-branch Q loss with
+a fixed mask (handled inside the step via config), periodic AUPRC eval with
+best-checkpoint gating.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.datasets import Loader
+from ..metrics.prauc import auprc
+from ..utils.config import Config
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricsLogger
+from . import sampling
+from .state import DAMCState, ModelBundle, create_state
+from .step import make_train_step
+
+
+def evaluate_auprc(
+    key: jax.Array,
+    state: DAMCState,
+    models: ModelBundle,
+    cfg: Config,
+    test_images: np.ndarray,
+    test_labels: np.ndarray,
+    batch: int = 500,
+    langevin_steps: int = 10,
+) -> float:
+    """Anomaly AUPRC sweep (`train_anomaly_det.py:206-248`): score =
+    ||x_hat - x||^2 + E(z) + 0.5||z||^2 after Q init + noiseless Langevin;
+    labels are 1 = anomalous."""
+    score_fn = jax.jit(
+        lambda k, x: sampling.anomaly_scores(
+            k, state, models, cfg, x, langevin_steps=langevin_steps
+        )
+    )
+    scores, labels = [], []
+    n = len(test_images)
+    for i in range(0, n, batch):
+        x = test_images[i : i + batch]
+        lbl = test_labels[i : i + batch]
+        if len(x) < batch:  # pad the tail to keep a single compiled shape
+            pad = batch - len(x)
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+            s = np.asarray(score_fn(jax.random.fold_in(key, i), jax.numpy.asarray(x)))
+            s = s[: len(lbl)]
+        else:
+            s = np.asarray(score_fn(jax.random.fold_in(key, i), jax.numpy.asarray(x)))
+        scores.append(s)
+        labels.append(lbl)
+    return auprc(np.concatenate(scores), np.concatenate(labels))
+
+
+def train_anomaly(
+    cfg: Config,
+    train_images: np.ndarray,
+    test_images: Optional[np.ndarray] = None,
+    test_labels: Optional[np.ndarray] = None,
+    iterations: Optional[int] = None,
+    log_dir: Optional[str] = None,
+    seed: Optional[int] = None,
+) -> Tuple[DAMCState, float]:
+    """Run anomaly training; returns (final state, best AUPRC)."""
+    tc = cfg.train
+    seed = tc.seed if seed is None else seed
+    iterations = tc.iterations if iterations is None else iterations
+    logger = MetricsLogger(log_dir)
+    ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_eval = jax.random.split(key)
+    state, models, opts = create_state(k_init, cfg)
+    step = jax.jit(make_train_step(models, opts, cfg), donate_argnums=0)
+
+    loader = Loader(
+        train_images,
+        batch_size=tc.batch_size,
+        shuffle=True,
+        drop_last=True,
+        augment_flip=False,  # no flip aug in anomaly (`train_anomaly_det.py:49-56`)
+        seed=seed,
+    )
+    stream = loader.stream()
+
+    auc_best = 0.0
+    for it in range(iterations):
+        x_np, _ = next(stream)
+        state, metrics = step(state, jax.numpy.asarray(x_np))
+
+        if it % tc.print_every == 0:
+            logger.log(it, metrics)
+        if it % tc.eval_every == 0 and test_images is not None:
+            score = evaluate_auprc(
+                jax.random.fold_in(k_eval, it),
+                state, models, cfg, test_images, test_labels,
+            )
+            if score > auc_best:
+                auc_best = score
+                if ckpt_dir:
+                    save_checkpoint(ckpt_dir, "best", state)
+            logger.log(it, {"auprc": score, "auprc_best": auc_best}, prefix="eval")
+
+    return state, auc_best

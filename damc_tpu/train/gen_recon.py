@@ -1,0 +1,165 @@
+"""Image generation + reconstruction training driver (SVHN/CIFAR/CelebA).
+
+Host-side loop around the fused jitted train step — the TPU re-architecture
+of `train_gen_recon.py:29-348`. The host only feeds data, logs, checkpoints,
+and triggers the periodic FID / recon-MSE evals; every numeric step is one
+XLA program. Data-parallel over a mesh when provided (params replicated,
+batch/chains sharded on `data`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..data.datasets import Loader
+from ..metrics.fid import compute_stats, fid_from_samples
+from ..parallel import batch_sharding, make_mesh, replicate, replicated
+from ..utils.config import Config
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricsLogger, save_image_grid
+from . import sampling
+from .state import DAMCState, create_state
+from .step import make_train_step
+
+
+def evaluate_fid(
+    key, state, models, cfg, feature_fn, real_mu, real_sigma, n_samples, batch, prior
+):
+    """FID via the DAMC prior (`calculate_fid_with_diffusion_prior`) or the
+    EBM-prior Langevin chain (`calculate_fid`), `MCMC.py:130-176`."""
+    gen = (
+        sampling.gen_samples_damc_prior if prior == "damc" else sampling.gen_samples_ebm_prior
+    )
+
+    @jax.jit
+    def one_batch(k):
+        out = gen(k, state, models, cfg, batch)
+        x = out[0] if isinstance(out, tuple) else out
+        return sampling.to_unit_range(x)
+
+    def batches():
+        for i in range(max(n_samples // batch, 1)):
+            yield np.asarray(one_batch(jax.random.fold_in(key, i)))
+
+    return fid_from_samples(feature_fn, batches(), real_mu, real_sigma)
+
+
+def evaluate_mse(key, state, models, cfg, eval_images: np.ndarray, batch: int) -> float:
+    """Test-set recon MSE: Q init + 10-step noiseless Langevin
+    (`train_gen_recon.py:324-348`)."""
+    recon = jax.jit(
+        lambda k, x: sampling.recon_mse(
+            sampling.reconstruct(k, state, models, cfg, x, langevin_steps=10)[0], x
+        )
+    )
+    total = 0.0
+    n = len(eval_images)
+    for i in range(0, n - n % batch, batch):
+        x = jax.numpy.asarray(eval_images[i : i + batch])
+        total += float(recon(jax.random.fold_in(key, i), x))
+    return total / max(n - n % batch, 1)
+
+
+def train_gen_recon(
+    cfg: Config,
+    train_images: np.ndarray,
+    fid_images: Optional[np.ndarray] = None,
+    mse_images: Optional[np.ndarray] = None,
+    feature_fn: Optional[Callable] = None,
+    iterations: Optional[int] = None,
+    log_dir: Optional[str] = None,
+    use_mesh: bool = False,
+    seed: Optional[int] = None,
+) -> DAMCState:
+    """Full training run; returns the final state."""
+    tc = cfg.train
+    seed = tc.seed if seed is None else seed
+    iterations = tc.iterations if iterations is None else iterations
+    logger = MetricsLogger(log_dir)
+    img_dir = os.path.join(log_dir, "imgs") if log_dir else None
+    ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_eval = jax.random.split(key)
+    state, models, opts = create_state(k_init, cfg)
+
+    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    if mesh is not None:
+        state = replicate(mesh, state)
+        step = jax.jit(
+            make_train_step(models, opts, cfg),
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=(replicated(mesh), replicated(mesh)),
+            donate_argnums=0,
+        )
+    else:
+        step = jax.jit(make_train_step(models, opts, cfg), donate_argnums=0)
+
+    # Real-image FID statistics, precomputed once (`train_gen_recon.py:114-126`).
+    real_mu = real_sigma = None
+    if feature_fn is not None and fid_images is not None:
+        unit = (fid_images.astype(np.float32) + 1.0) / 2.0 if fid_images.dtype != np.uint8 else fid_images.astype(np.float32) / 255.0
+        real_mu, real_sigma = compute_stats(
+            feature_fn,
+            (unit[i : i + 256] for i in range(0, len(unit), 256)),
+        )
+
+    loader = Loader(
+        train_images,
+        batch_size=tc.batch_size,
+        shuffle=True,
+        drop_last=True,
+        augment_flip=True,
+        seed=seed,
+    )
+    stream = loader.stream()
+
+    fid_best = mse_best = float("inf")
+    for it in range(iterations):
+        x_np, _ = next(stream)
+        x = jax.device_put(
+            x_np, batch_sharding(mesh) if mesh is not None else None
+        )
+        state, metrics = step(state, x)
+
+        if it % tc.print_every == 0:
+            logger.log(it, metrics)
+        if img_dir and it % tc.plot_every == 0:
+            x_prior, _ = jax.jit(
+                lambda k: sampling.gen_samples_damc_prior(k, state, models, cfg, 64)
+            )(jax.random.fold_in(k_eval, it))
+            save_image_grid(np.asarray(x_prior), f"{img_dir}/{it}_prior.png")
+        if ckpt_dir and it > 0 and it % tc.ckpt_every == 0:
+            save_checkpoint(ckpt_dir, str(it), state)
+
+        if it % tc.eval_every == 0 and feature_fn is not None and real_mu is not None:
+            eval_metrics: Dict[str, float] = {}
+            eval_metrics["fid_damc"] = evaluate_fid(
+                jax.random.fold_in(k_eval, 2 * it),
+                state, models, cfg, feature_fn, real_mu, real_sigma,
+                tc.n_fid_samples, tc.batch_size, prior="damc",
+            )
+            eval_metrics["fid_ebm"] = evaluate_fid(
+                jax.random.fold_in(k_eval, 2 * it + 1),
+                state, models, cfg, feature_fn, real_mu, real_sigma,
+                tc.n_fid_samples, tc.batch_size, prior="ebm",
+            )
+            if mse_images is not None:
+                eval_metrics["recon_mse"] = evaluate_mse(
+                    jax.random.fold_in(k_eval, it),
+                    state, models, cfg, mse_images, tc.batch_size,
+                )
+                mse_best = min(mse_best, eval_metrics["recon_mse"])
+            if eval_metrics["fid_damc"] < fid_best:
+                fid_best = eval_metrics["fid_damc"]
+                if ckpt_dir:
+                    save_checkpoint(ckpt_dir, "best", state)
+            eval_metrics["fid_best"] = fid_best
+            logger.log(it, eval_metrics, prefix="eval")
+
+    return state

@@ -49,10 +49,15 @@ def make_train_step(
         b = x.shape[0]
 
         # Conditional/unconditional training mask (p_mask rows use the prior
-        # embedding), `train_gen_recon.py:187-190`.
-        z_mask = (
-            jax.random.uniform(k_mask, (b,)) >= dc.p_mask
-        ).astype(x.dtype)[:, None]
+        # embedding), `train_gen_recon.py:187-190`. Anomaly training instead
+        # uses a fixed all-ones mask and trains the uncond branch explicitly
+        # (`train_anomaly_det.py:134-140`).
+        if tc.random_mask:
+            z_mask = (
+                jax.random.uniform(k_mask, (b,)) >= dc.p_mask
+            ).astype(x.dtype)[:, None]
+        else:
+            z_mask = jnp.ones((b, 1), x.dtype)
 
         # ---- 1. Amortized init: z0 ~ Q_ema(. | x) ------------------------
         z0 = sample_q(sg(state.params_q_ema), models.amortizer, k_q0, x=x)

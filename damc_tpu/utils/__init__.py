@@ -1,5 +1,7 @@
 """Config, logging, checkpoint utilities."""
 
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .logging import MetricsLogger, save_image_grid, save_kde_plot
 from .config import (
     Config,
     DiffusionConfig,
@@ -11,6 +13,12 @@ from .config import (
 )
 
 __all__ = [
+    "latest_step",
+    "restore_checkpoint",
+    "save_checkpoint",
+    "MetricsLogger",
+    "save_image_grid",
+    "save_kde_plot",
     "Config",
     "DiffusionConfig",
     "MCMCConfig",

@@ -1,0 +1,46 @@
+"""Orbax checkpointing of the FULL train state.
+
+The reference checkpoints a hand-assembled dict and then forgets to restore
+E / E_optimizer / Q_dummy on resume (`train_gen_recon.py:163-170,282-294`) —
+a documented bug (SURVEY.md §5). Here the whole `DAMCState` pytree (params,
+EMA params, all three optimizer states, PRNG key, step) is one checkpoint
+atom, so resume is exact by construction. Best-metric checkpoints mirror the
+reference's `best.pth.tar` gating (`train_gen_recon.py:307-320`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(directory: str, name: str, state: Any) -> str:
+    """Save `state` under <directory>/<name> (e.g. '100000' or 'best')."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, name))
+    _checkpointer().save(path, state, force=True)
+    return path
+
+
+def restore_checkpoint(directory: str, name: str, target: Any) -> Any:
+    """Restore into the structure of `target` (a template DAMCState)."""
+    path = os.path.abspath(os.path.join(directory, name))
+    restored = _checkpointer().restore(path, item=target)
+    return restored
+
+
+def latest_step(directory: str) -> Optional[int]:
+    """Largest integer-named checkpoint in `directory`, or None."""
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(d) for d in os.listdir(directory) if d.isdigit()]
+    return max(steps) if steps else None

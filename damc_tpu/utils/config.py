@@ -81,6 +81,10 @@ class TrainConfig:
     # 'single' = B chains (anomaly), 'none' = no prior sampling (toy)
     prior_chains: str = "double"
     q_loss_both_branches: bool = False  # anomaly trains both mask branches
+    # gen_recon/toy draw a Bernoulli(p_mask) mask; anomaly uses a fixed
+    # all-ones mask and trains cond + uncond branches explicitly
+    # (`train_anomaly_det.py:134-140`).
+    random_mask: bool = True
     update_g: bool = True
     update_e: bool = True
     print_every: int = 100
@@ -126,16 +130,25 @@ def preset(name: str) -> Config:
         cfg = _r(cfg, "mcmc", g_llhd_sigma=1.0)
         return cfg
     if name == "mnist_anomaly":
-        # train_anomaly_det.py: nz=8, ngf=64, nif=64, nxemb=128, wd=0,
-        # single prior chains, dual-branch Q loss, eval every 500.
-        cfg = _r(cfg, "model", dataset="mnist", nz=8, ngf=64, nxemb=128, nc=1, image_size=28)
-        cfg = _r(cfg, "optim", q_weight_decay=0.0)
+        # train_anomaly_det.py defaults: nz=8, ngf=128, nif=128, nxemb=1024,
+        # g_llhd_sigma=1.0, g_lr=q_lr=1e-4, e_lr=5e-5, Q weight_decay=0,
+        # single prior chains, dual-branch Q loss on a FIXED all-ones mask,
+        # eval every 500, ckpt every 1000, held-out digit default 9.
+        cfg = _r(
+            cfg, "model", dataset="mnist", nz=8, ngf=128, nif=128, nxemb=1024,
+            nc=1, image_size=28,
+        )
+        cfg = _r(cfg, "mcmc", g_llhd_sigma=1.0)
+        cfg = _r(cfg, "optim", q_weight_decay=0.0, g_lr=1e-4, e_lr=5e-5, q_lr=1e-4)
         cfg = _r(
             cfg,
             "train",
             prior_chains="single",
             q_loss_both_branches=True,
+            random_mask=False,
             eval_every=500,
+            ckpt_every=1000,
+            heldout_digit=9,
         )
         return cfg
     if name == "toy":
