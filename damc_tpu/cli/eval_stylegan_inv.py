@@ -1,0 +1,83 @@
+"""CLI: StyleGAN inversion evaluation (FFHQ / LSUN-tower).
+
+Mirrors `/root/reference/workspace/eval_stylegan_inv.py`: loads the pretrained
+StyleGAN generator/encoder + VGG16 perceptual net (torch .pth checkpoints,
+converted on the fly), the trained DAMC amortizer checkpoint, then sweeps the
+test set with Q-init + 100-step Adam refinement and reports recon MSE + FID
+of the reconstructions.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from ..data.datasets import load_image_folder
+from ..metrics.fid import compute_stats
+from ..models.stylegan import load_stylegan
+from ..utils.config import preset
+from .common import make_feature_fn, to_pm1
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--dataset", type=str, default="ffhq", choices=["ffhq", "lsun_tower"])
+    p.add_argument("--data_path", type=str, required=True, help="folder of test images")
+    p.add_argument("--pretrained_G_path", type=str, required=True)
+    p.add_argument("--pretrained_E_path", type=str, required=True)
+    p.add_argument("--pretrained_F_path", type=str, required=True, help="vgg16.pth")
+    p.add_argument("--q_ckpt_dir", type=str, default=None, help="orbax dir of trained Q")
+    p.add_argument("--q_ckpt_name", type=str, default="best")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--g_l_steps", type=int, default=100)
+    p.add_argument("--g_l_step_size", type=float, default=0.01)
+    p.add_argument("--n_fid_samples", type=int, default=50000)
+    p.add_argument("--limit", type=int, default=None, help="cap on test images")
+    args = p.parse_args(argv)
+
+    stylegan_params = load_stylegan(
+        generator_path=args.pretrained_G_path,
+        encoder_path=args.pretrained_E_path,
+        vgg_path=args.pretrained_F_path,
+    )
+
+    from ..train.stylegan_inv import evaluate_inversion, make_stylegan_amortizer
+    from ..utils.checkpoint import restore_checkpoint
+
+    cfg = preset("celebaHQ")  # 256-res defaults for the diffusion settings
+    q_model = make_stylegan_amortizer(cfg)
+    xemb_dummy = np.zeros((1, q_model.nz), np.float32)
+    q_params = q_model.init(jax.random.PRNGKey(0), xemb_dummy)
+    if args.q_ckpt_dir:
+        q_params = restore_checkpoint(args.q_ckpt_dir, args.q_ckpt_name, q_params)
+    else:
+        print("[damc] WARNING: no --q_ckpt_dir given; using random Q init")
+
+    images = to_pm1(load_image_folder(args.data_path, 256, limit=args.limit))
+    feature_fn = make_feature_fn(cfg)
+    unit = (images + 1.0) / 2.0
+    real_mu, real_sigma = compute_stats(
+        feature_fn, (unit[i : i + 64] for i in range(0, len(unit), 64))
+    )
+
+    out = evaluate_inversion(
+        jax.random.PRNGKey(args.seed),
+        q_params,
+        q_model,
+        stylegan_params,
+        images,
+        batch=args.batch_size,
+        steps=args.g_l_steps,
+        lr=args.g_l_step_size,
+        feature_fn=feature_fn,
+        real_mu=real_mu,
+        real_sigma=real_sigma,
+    )
+    print(f"[damc] recon MSE {out['recon_mse']:.5f} FID {out.get('fid', float('nan')):.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,8 +79,15 @@ class DAMCAmortizer(nn.Module):
     cond_w: float = 0.0
 
     def setup(self):
+        widths = None
         if self.dataset == "toy":
             self.encoder = MLPEncoder(nemb=self.nxemb)
+        elif self.dataset == "stylegan":
+            # Encoder is the FROZEN pretrained StyleGAN inversion encoder,
+            # applied externally under stop-grad (`diffusion_net_stylegan.py:
+            # 327-328,353-356`); widths pinned to 1024 for nz=7168 (`:210-296`).
+            self.encoder = None
+            widths = (1024, 1024)
         else:
             self.encoder = make_encoder(self.dataset, nemb=self.nxemb, nif=self.nif)
         self.prior_emb = PriorEmbedder(nxemb=self.nxemb)
@@ -90,6 +97,7 @@ class DAMCAmortizer(nn.Module):
             ntemb=self.ntemb,
             nf=self.nf,
             residual=self.residual,
+            widths=widths,
         )
 
     def encode(self, x: jax.Array) -> jax.Array:
@@ -102,8 +110,11 @@ class DAMCAmortizer(nn.Module):
         return self.p(z, logsnr, xemb)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        """Init-path only: touches every submodule so `.init` creates all params."""
-        xemb = self.encoder(x)
+        """Init-path only: touches every submodule so `.init` creates all params.
+
+        For dataset='stylegan', `x` is the externally-computed embedding.
+        """
+        xemb = x if self.encoder is None else self.encoder(x)
         b = x.shape[0]
         _ = self.prior_emb(jnp.zeros((b, self.nz)))
         z = jnp.zeros((b, self.nz))
@@ -116,6 +127,7 @@ class DAMCAmortizer(nn.Module):
         z: jax.Array,
         x: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
+        xemb: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Masked denoising score-matching loss (per-sample, shape (B,)).
 
@@ -127,8 +139,9 @@ class DAMCAmortizer(nn.Module):
         b = z.shape[0]
         key_prior, key_u, key_eps = jax.random.split(key, 3)
 
-        if x is not None:
-            xemb = self.encoder(x)
+        if x is not None or xemb is not None:
+            if xemb is None:
+                xemb = self.encoder(x)
             if mask is not None:
                 prior_emb = self.prior_emb(
                     jax.random.normal(key_prior, (b, self.nz), z.dtype)
@@ -154,6 +167,7 @@ def sample_q(
     x: Optional[jax.Array] = None,
     b: Optional[int] = None,
     cond_w: float = 0.0,
+    xemb: Optional[jax.Array] = None,
     dtype=jnp.float32,
 ) -> jax.Array:
     """Draw z ~ Q(. | x) (posterior) or z ~ Q(.) (prior when x is None).
@@ -161,10 +175,14 @@ def sample_q(
     Pure function of (params, key): jit/pjit-friendly; the reverse sweep is a
     `lax.scan` (see `ops/reverse_diffusion.py`). Mirrors `_netQ_U.forward`
     (`diffusion_net.py:585-622`) including optional classifier-free guidance.
+    Pass `xemb` directly for external-encoder variants (StyleGAN).
     """
     key_init, key_emb, key_sweep = jax.random.split(key, 3)
 
-    if x is not None:
+    if xemb is not None:
+        b = xemb.shape[0]
+        x = xemb  # mark conditional for the guidance branch below
+    elif x is not None:
         b = x.shape[0]
         xemb = model.apply(params, x, method="encode")
     else:

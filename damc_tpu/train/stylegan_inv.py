@@ -1,0 +1,141 @@
+"""StyleGAN inversion workload (FFHQ / LSUN-tower): DAMC init + Adam refine.
+
+Re-architecture of `eval_stylegan_inv.py` + `sample_invert_z`
+(`/root/reference/workspace/src/MCMC.py:76-117`): the amortizer (frozen
+pretrained StyleGAN encoder for conditioning, 1024-wide denoiser over 7168-d
+W+ latents) proposes codes in one reverse-diffusion pass, NaN rows are rescued
+by resampling truncated W codes through the mapping net, and an Adam loop
+refines the latents under 1.5 * pixel MSE + 5e-5 * VGG16 perceptual MSE.
+Everything (Q sweep + 100 Adam steps + generator/VGG forwards) runs in one
+jitted program per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import stylegan as sg
+from ..models.amortizer import DAMCAmortizer, sample_q
+from ..ops.langevin import adam_latent_descent
+from ..utils.config import Config
+
+
+def make_stylegan_amortizer(cfg: Config, resolution: int = 256) -> DAMCAmortizer:
+    """Q for the inversion workload: nz = nxemb = num_layers * 512 = 7168 at
+    resolution 256 (`eval_stylegan_inv.py:61-62`)."""
+    d = cfg.diffusion
+    nz = sg.num_synthesis_layers(resolution) * sg.W_DIM
+    return DAMCAmortizer(
+        nz=nz,
+        nxemb=nz,
+        ntemb=cfg.model.ntemb,
+        dataset="stylegan",
+        n_interval=d.n_interval,
+        logsnr_min=d.logsnr_min,
+        logsnr_max=d.logsnr_max,
+        var_type=d.var_type,
+        with_noise=d.with_noise,
+        residual=d.residual,
+    )
+
+
+def inversion_loss_fn(gen_params: Dict, vgg_params: Dict, x: jax.Array, resolution: int = 256):
+    """Per-image loss 1.5 * mse + 5e-5 * vgg_mse (`MCMC.py:100-103`)."""
+    feat_x = jax.lax.stop_gradient(sg.vgg16_features(vgg_params, x))
+
+    def loss(z):
+        x_hat = sg.generator_apply(gen_params, z, resolution)
+        mse = jnp.mean((x_hat - x).reshape(z.shape[0], -1) ** 2, axis=-1)
+        feat_hat = sg.vgg16_features(vgg_params, x_hat)
+        f_mse = jnp.mean((feat_x - feat_hat).reshape(z.shape[0], -1) ** 2, axis=-1)
+        return 1.5 * mse + 5e-5 * f_mse
+
+    return loss
+
+
+def nan_rescue(
+    key: jax.Array, gen_full_params: Dict, z: jax.Array, x: jax.Array,
+    resolution: int = 256,
+) -> jax.Array:
+    """Replace latents whose reconstruction is NaN with fresh truncated W
+    codes from the mapping net (`MCMC.py:83-94`)."""
+    x_hat = sg.generator_apply({"synthesis": gen_full_params["synthesis"]}, z, resolution)
+    recon = jnp.mean((x_hat - x).reshape(z.shape[0], -1) ** 2, axis=-1)
+    bad = jnp.isnan(recon)[:, None]
+    w = sg.sample_w_codes(gen_full_params, key, z.shape[0], resolution)
+    return jnp.where(bad, w, z)
+
+
+def invert_batch(
+    key: jax.Array,
+    q_params,
+    q_model: DAMCAmortizer,
+    stylegan_params: Dict,
+    x: jax.Array,
+    steps: int = 100,
+    lr: float = 0.01,
+    resolution: int = 256,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full inversion for one batch: Q(x) -> NaN rescue -> Adam refine.
+
+    `stylegan_params` needs keys 'generator' (with mapping/truncation/
+    synthesis) and 'vgg'; the encoder embedding is computed by the caller or
+    here when 'encoder' is present. Returns (x_hat, z, per-step losses).
+    """
+    k_q, k_rescue = jax.random.split(key)
+    gen = stylegan_params["generator"]
+
+    xemb = sg.encoder_apply(stylegan_params["encoder"], x, resolution)
+    z0 = sample_q(q_params, q_model, k_q, xemb=jax.lax.stop_gradient(xemb))
+    z0 = nan_rescue(k_rescue, gen, z0, x, resolution)
+
+    loss_fn = inversion_loss_fn(
+        {"synthesis": gen["synthesis"]}, stylegan_params["vgg"], x, resolution
+    )
+    z, losses = adam_latent_descent(z0, loss_fn, steps=steps, lr=lr)
+    x_hat = sg.generator_apply({"synthesis": gen["synthesis"]}, z, resolution)
+    return x_hat, z, losses
+
+
+def evaluate_inversion(
+    key: jax.Array,
+    q_params,
+    q_model: DAMCAmortizer,
+    stylegan_params: Dict,
+    images: np.ndarray,
+    batch: int = 8,
+    steps: int = 100,
+    lr: float = 0.01,
+    resolution: int = 256,
+    feature_fn=None,
+    real_mu=None,
+    real_sigma=None,
+) -> Dict[str, float]:
+    """Test-set sweep: recon MSE (sum of per-image means / N) + optional FID
+    of reconstructions (`eval_stylegan_inv.py:120-152`)."""
+    run = jax.jit(
+        lambda k, xb: invert_batch(
+            k, q_params, q_model, stylegan_params, xb, steps, lr, resolution
+        )
+    )
+    total_mse, n = 0.0, 0
+    recons = []
+    for i in range(0, len(images) - len(images) % batch, batch):
+        xb = jnp.asarray(images[i : i + batch])
+        x_hat, z, _ = run(jax.random.fold_in(key, i), xb)
+        total_mse += float(
+            jnp.sum(jnp.mean((x_hat - xb).reshape(batch, -1) ** 2, axis=-1))
+        )
+        n += batch
+        if feature_fn is not None:
+            recons.append(np.asarray((1.0 + jnp.clip(x_hat, -1, 1)) / 2.0))
+    out = {"recon_mse": total_mse / max(n, 1)}
+    if feature_fn is not None and real_mu is not None:
+        from ..metrics.fid import fid_from_samples
+
+        out["fid"] = fid_from_samples(feature_fn, recons, real_mu, real_sigma)
+    return out
