@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from damc_tpu.models.amortizer import sample_q
-from damc_tpu.ops.langevin import langevin_sample, posterior_energy, prior_energy
+from damc_tpu.ops.langevin import (
+    langevin_sample,
+    posterior_energy,
+    prior_langevin_auto,
+)
 from damc_tpu.train import create_state
 from damc_tpu.utils import preset
 
@@ -60,10 +64,12 @@ def main():
         z_neg_init = jnp.concatenate(
             [z0, jax.random.normal(k_neg, z0.shape, z0.dtype)], axis=0
         )
-        zk_neg, _ = langevin_sample(
+        # Fused Pallas kernel on TPU (ops/pallas/fused_langevin.py).
+        zk_neg, _ = prior_langevin_auto(
             k_prior,
             z_neg_init,
-            prior_energy(ebm_fn),
+            models.ebm,
+            params_e,
             mc.e_l_steps,
             mc.e_l_step_size,
             mc.e_l_with_noise,

@@ -16,6 +16,7 @@ from .langevin import (
     langevin_sample,
     posterior_energy,
     prior_energy,
+    prior_langevin_auto,
 )
 from .reverse_diffusion import reverse_diffusion_sample
 

@@ -1,0 +1,186 @@
+"""Pallas TPU kernel: the ENTIRE K-step prior-Langevin chain in one kernel.
+
+The EBM prior sampler (`/root/reference/workspace/src/MCMC.py:27-46`) is the
+purest hot loop in DAMC: K steps of
+
+    z <- z - 0.5 eps^2 * (grad E(z) + z) + eps * N(0, I)
+
+where E is the tiny latent MLP nz -> ndf -> ndf -> 1 (LeakyReLU 0.2,
+`diffusion_net.py:207-223`). The XLA `lax.scan` path round-trips z through
+HBM every step and pays threefry costs for the noise. This kernel instead:
+
+  * pins z, all weights, and activations in VMEM for the whole chain
+    (B=512 chains x nz=128 x fp32 + 2 x (ndf x ndf) weights << 16 MB);
+  * runs the analytic forward AND backward of the MLP energy on the MXU
+    inside a `fori_loop` (grad is hand-derived — no autodiff residuals);
+  * draws Gaussian noise with the on-core PRNG (`pltpu.prng_random_bits`)
+    via a Box-Muller transform — no HBM noise traffic.
+
+The backward of U(z) = sum E(z) + 0.5 ||z||^2, with flax-layout kernels
+(K1: nz x ndf, K2: ndf x ndf, k3: ndf x 1):
+
+    h1p = z K1 + b1 ; h1 = lrelu(h1p)
+    h2p = h1 K2 + b2 ; h2 = lrelu(h2p)
+    dU/dz = (((k3^T * lrelu'(h2p)) K2^T) * lrelu'(h1p)) K1^T + z
+
+Numerics note: the kernel keeps everything in fp32 (matching the reference);
+Gaussian noise is exact Box-Muller over 2x uint32 draws.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LRELU_SLOPE = 0.2
+_TWO_PI = 2.0 * math.pi
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0.0, x, _LRELU_SLOPE * x)
+
+
+def _dlrelu(x):
+    return jnp.where(x >= 0.0, 1.0, _LRELU_SLOPE)
+
+
+def _uniform_from_bits(bits):
+    # uint32 -> (0, 1): use the top 24 bits, offset by half an ulp so u > 0.
+    bits = pltpu.bitcast(bits, jnp.uint32)  # prng bits may come back as int32
+    # After >> 8 the top bit is clear, so the int32 reinterpretation is the
+    # same value — Mosaic lacks a uint32 -> f32 cast, int32 -> f32 exists.
+    top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+
+
+def _normal_sample(shape):
+    """Box-Muller from two uint32 draws of the on-core PRNG."""
+    u1 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+    u2 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _kernel(
+    seed_ref,
+    z_ref,
+    k1_ref,
+    b1_ref,
+    k2_ref,
+    b2_ref,
+    k3_ref,
+    out_ref,
+    *,
+    steps: int,
+    step_size: float,
+    with_noise: bool,
+):
+    if with_noise:  # static; PRNG untouched on noiseless chains
+        pltpu.prng_seed(seed_ref[0])
+    k1 = k1_ref[:]
+    b1 = b1_ref[:]
+    k2 = k2_ref[:]
+    b2 = b2_ref[:]
+    k3 = k3_ref[:]  # (1, ndf): transposed final layer for row-vector math
+    coeff = 0.5 * step_size * step_size
+
+    def body(_, z):
+        h1p = (
+            jnp.dot(z, k1, preferred_element_type=jnp.float32) + b1
+        )
+        h1 = _lrelu(h1p)
+        h2p = (
+            jnp.dot(h1, k2, preferred_element_type=jnp.float32) + b2
+        )
+        # Backward (hand-derived; the energy head is linear in h2).
+        d2 = _dlrelu(h2p) * k3  # (B, ndf) via broadcast of (1, ndf)
+        d1 = _dlrelu(h1p) * jnp.dot(
+            d2, k2.T, preferred_element_type=jnp.float32
+        )
+        grad = jnp.dot(d1, k1.T, preferred_element_type=jnp.float32) + z
+        z = z - coeff * grad
+        if with_noise:
+            z = z + step_size * _normal_sample(z.shape)
+        return z
+
+    out_ref[:] = jax.lax.fori_loop(0, steps, body, z_ref[:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "step_size", "with_noise", "interpret")
+)
+def fused_prior_langevin(
+    z: jax.Array,
+    k1: jax.Array,
+    b1: jax.Array,
+    k2: jax.Array,
+    b2: jax.Array,
+    k3: jax.Array,
+    seed: jax.Array,
+    steps: int,
+    step_size: float,
+    with_noise: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run the full K-step prior-Langevin chain in one Pallas kernel.
+
+    Args:
+      z: (B, nz) chain states (fp32).
+      k1, b1, k2, b2: EBM dense weights in flax layout ((nz, ndf), (ndf,), ...).
+      k3: (ndf,) or (ndf, 1) final energy head (bias irrelevant to the grad).
+      seed: int32 scalar PRNG seed.
+      steps / step_size / with_noise: chain hyperparameters (static).
+      interpret: run in TPU-interpreter mode (CPU testing; simulates the
+        Mosaic primitives including the on-core PRNG).
+    """
+    b1 = b1.reshape(1, -1).astype(jnp.float32)
+    b2 = b2.reshape(1, -1).astype(jnp.float32)
+    k3 = k3.reshape(1, -1).astype(jnp.float32)  # (1, ndf)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _kernel, steps=steps, step_size=float(step_size), with_noise=with_noise
+    )
+    flops_per_step = 2 * z.shape[0] * (
+        z.shape[1] * k1.shape[1] * 2 + k1.shape[1] * k1.shape[1]
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(z.shape, jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=steps * flops_per_step,
+            bytes_accessed=z.size * 4 * 2 + k1.size * 4 + k2.size * 4,
+            transcendentals=steps * z.size * 2 if with_noise else 0,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, z.astype(jnp.float32), k1.astype(jnp.float32), b1, k2.astype(jnp.float32), b2, k3)
+
+
+def ebm_params_to_dense_weights(params) -> Tuple[jax.Array, ...]:
+    """Extract (k1, b1, k2, b2, k3) from a LatentEBM param tree
+    (`damc_tpu.models.ebm.LatentEBM` with n_hidden=2)."""
+    p = params["params"]
+    return (
+        p["Dense_0"]["kernel"],
+        p["Dense_0"]["bias"],
+        p["Dense_1"]["kernel"],
+        p["Dense_1"]["bias"],
+        p["Dense_2"]["kernel"],
+    )

@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 
 from ..models.amortizer import sample_q
-from ..ops.langevin import langevin_sample, posterior_energy, prior_energy
+from ..ops.langevin import (
+    langevin_sample,
+    posterior_energy,
+    prior_energy,
+    prior_langevin_auto,
+)
 from ..utils.config import Config
 from .state import DAMCState, ModelBundle
 
@@ -34,14 +39,15 @@ def gen_samples_ebm_prior(
     mc = cfg.mcmc
     k_init, k_chain = jax.random.split(key)
     z0 = jax.random.normal(k_init, (batch, cfg.model.nz))
-    ebm_fn = lambda z: models.ebm.apply(jax.lax.stop_gradient(state.params_e), z)
-    z, _ = langevin_sample(
+    z, _ = prior_langevin_auto(
         k_chain,
         z0,
-        prior_energy(ebm_fn),
+        models.ebm,
+        state.params_e,
         mc.e_l_steps,
         mc.e_l_step_size,
         mc.e_l_with_noise,
+        use_pallas=cfg.train.use_pallas,
     )
     return models.generator.apply(state.params_g, z)
 

@@ -27,7 +27,7 @@ from ..ops.langevin import (
     gaussian_posterior_energy,
     langevin_sample,
     posterior_energy,
-    prior_energy,
+    prior_langevin_auto,
 )
 from ..utils.config import Config
 from .state import DAMCState, ModelBundle, Optimizers
@@ -75,7 +75,7 @@ def make_train_step(
 
         # ---- 3. Prior Langevin (negative chains for CD) -------------------
         zk_neg = None
-        prior_diag = None
+        prior_final_energy = None
         if tc.prior_chains != "none" and models.ebm is not None:
             if tc.prior_chains == "double":
                 # cat([z0, randn]) — 2B chains (`train_gen_recon.py:206-209`)
@@ -84,14 +84,15 @@ def make_train_step(
                 )
             else:  # 'single' (anomaly, `train_anomaly_det.py:129-131`)
                 z_neg_init = z0
-            ebm_fn = lambda z: models.ebm.apply(sg(state.params_e), z)
-            zk_neg, prior_diag = langevin_sample(
+            zk_neg, prior_final_energy = prior_langevin_auto(
                 k_prior,
                 z_neg_init,
-                prior_energy(ebm_fn),
+                models.ebm,
+                state.params_e,
                 mc.e_l_steps,
                 mc.e_l_step_size,
                 mc.e_l_with_noise,
+                use_pallas=tc.use_pallas,
             )
 
         # ---- 4. q_updates x amortizer update (denoising score matching) ---
@@ -174,10 +175,10 @@ def make_train_step(
             "post_energy_final": post_diag.energy_sum[-1] / b,
             "zk_pos_abs_max": jnp.max(jnp.abs(zk_pos)),
         }
-        if zk_neg is not None and prior_diag is not None:
+        if zk_neg is not None and prior_final_energy is not None:
             metrics["e_pos"] = e_pos
             metrics["e_neg"] = e_neg
-            metrics["prior_energy_final"] = prior_diag.energy_sum[-1] / zk_neg.shape[0]
+            metrics["prior_energy_final"] = jnp.mean(prior_final_energy)
 
         new_state = state.replace(
             step=state.step + 1,

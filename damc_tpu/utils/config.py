@@ -85,6 +85,9 @@ class TrainConfig:
     # all-ones mask and trains cond + uncond branches explicitly
     # (`train_anomaly_det.py:134-140`).
     random_mask: bool = True
+    # Use the fused Pallas prior-Langevin kernel on TPU (exact-parity
+    # fallback to lax.scan elsewhere; see ops/pallas/fused_langevin.py).
+    use_pallas: bool = True
     update_g: bool = True
     update_e: bool = True
     print_every: int = 100
