@@ -121,20 +121,22 @@ def load_dataset(cfg: Config) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     train split; recon MSE from the held-out split.
     """
     d, root = cfg.model.dataset, cfg.train.data_path
+    # Train stores stay uint8 (native C++ loader path + 4x less host RAM);
+    # eval arrays are converted to [-1, 1] float up front.
     if d == "cifar10":
-        tr = to_pm1(load_cifar10(root, "train"))
+        tr = load_cifar10(root, "train")
         te = to_pm1(load_cifar10(root, "test"))
         return tr, tr, te
     if d == "svhn":
-        tr = to_pm1(load_svhn(root, "train"))
+        tr = load_svhn(root, "train")
         te = to_pm1(load_svhn(root, "test"))
         return tr, tr, te
     if d == "celeba64":
-        tr = to_pm1(load_image_folder(osp.join(root, "celeba64_train"), 64))
+        tr = load_image_folder(osp.join(root, "celeba64_train"), 64)
         te = to_pm1(load_image_folder(osp.join(root, "celeba64_test"), 64))
         return tr, tr, te
     if d == "celebaHQ":
-        tr = to_pm1(load_image_folder(osp.join(root, "train"), 256))
+        tr = load_image_folder(osp.join(root, "train"), 256)
         te = to_pm1(load_image_folder(osp.join(root, "test"), 256))
         return tr, tr, te
     if d == "mnist":

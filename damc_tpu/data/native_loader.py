@@ -1,0 +1,181 @@
+"""ctypes bindings for the native C++ batch-preparation engine.
+
+Compiles `native/batch_loader.cpp` on first use (g++ -O3, cached under
+~/.cache/damc) and exposes `NativeLoader`, an API-compatible drop-in for
+`datasets.Loader` that prepares batches (shuffle / flip / u8->f32 [-1,1])
+with a C++ thread pool and a prefetch ring — ~10x the single-threaded NumPy
+path at CelebA-HQ scale, keeping the TPU step from stalling on host feed.
+Falls back to the NumPy `Loader` when no C++ toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "batch_loader.cpp",
+)
+_CACHE_DIR = os.path.expanduser("~/.cache/damc")
+_LIB_PATH = os.path.join(_CACHE_DIR, "libbatch_loader.so")
+
+_lib_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_error: Optional[str] = None
+
+
+def _build_library() -> str:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+        "-o", _LIB_PATH + ".tmp", _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+    return _LIB_PATH
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_error
+    with _lib_lock:
+        if _lib is not None or _lib_error is not None:
+            return _lib
+        try:
+            lib = ctypes.CDLL(_build_library())
+        except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+            _lib_error = str(e)
+            return None
+        lib.damc_loader_create.restype = ctypes.c_void_p
+        lib.damc_loader_create.argtypes = [
+            ctypes.c_void_p,  # images
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.damc_loader_next.restype = ctypes.c_int
+        lib.damc_loader_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p
+        ]
+        lib.damc_loader_destroy.restype = None
+        lib.damc_loader_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_loader_available() -> bool:
+    return _load_library() is not None
+
+
+class NativeLoader:
+    """C++-backed infinite batch stream over a uint8 (N, H, W, C) store.
+
+    Yields (float32 batch in [-1, 1], int64 indices). Epochs are shuffled
+    (Fisher-Yates) with drop_last semantics; horizontal flips are per-sample
+    Bernoulli(0.5) when `augment_flip`.
+    """
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        batch_size: int = 128,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        augment_flip: bool = False,
+        seed: int = 0,
+        num_threads: int = 0,
+        prefetch_depth: int = 4,
+    ):
+        assert images.dtype == np.uint8 and images.ndim == 4, (
+            "NativeLoader wants a uint8 (N, H, W, C) store"
+        )
+        lib = _load_library()
+        if lib is None:
+            raise RuntimeError(f"native loader unavailable: {_lib_error}")
+        self._lib = lib
+        self.images = np.ascontiguousarray(images)  # keep alive: C++ borrows
+        self.batch_size = batch_size
+        n, h, w, c = self.images.shape
+        self.sample_shape = (h, w, c)
+        if num_threads <= 0:
+            num_threads = min(8, os.cpu_count() or 4)
+        self._handle = lib.damc_loader_create(
+            self.images.ctypes.data_as(ctypes.c_void_p),
+            n, h, w, c,
+            batch_size, int(shuffle), int(augment_flip), int(drop_last),
+            seed, num_threads, prefetch_depth,
+        )
+        if not self._handle:
+            raise RuntimeError("damc_loader_create failed (bad shapes?)")
+
+    def __len__(self) -> int:
+        return len(self.images) // self.batch_size
+
+    def next(self) -> Tuple[np.ndarray, np.ndarray]:
+        h, w, c = self.sample_shape
+        out = np.empty((self.batch_size, h, w, c), np.float32)
+        idx = np.empty((self.batch_size,), np.int64)
+        ok = self._lib.damc_loader_next(
+            self._handle,
+            out.ctypes.data_as(ctypes.c_void_p),
+            idx.ctypes.data_as(ctypes.c_void_p),
+        )
+        if not ok:
+            raise StopIteration
+        return out, idx
+
+    def stream(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        while True:
+            yield self.next()
+
+    def __iter__(self):
+        return self.stream()
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.damc_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def make_loader(
+    images: np.ndarray,
+    batch_size: int = 128,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    augment_flip: bool = False,
+    seed: int = 0,
+    prefer_native: bool = True,
+):
+    """Best loader for the environment: native C++ engine for uint8 stores,
+    NumPy `Loader` otherwise."""
+    from .datasets import Loader
+
+    if prefer_native and images.dtype == np.uint8 and native_loader_available():
+        try:
+            return NativeLoader(
+                images, batch_size, shuffle, drop_last, augment_flip, seed
+            )
+        except RuntimeError:
+            pass
+    return Loader(
+        images,
+        batch_size=batch_size,
+        shuffle=shuffle,
+        drop_last=drop_last,
+        augment_flip=augment_flip,
+        seed=seed,
+    )

@@ -16,7 +16,7 @@ from typing import Callable, Dict, Iterable, Optional
 import jax
 import numpy as np
 
-from ..data.datasets import Loader
+from ..data.native_loader import make_loader
 from ..metrics.fid import compute_stats, fid_from_samples
 from ..parallel import batch_sharding, make_mesh, replicate, replicated
 from ..utils.config import Config
@@ -109,7 +109,8 @@ def train_gen_recon(
             (unit[i : i + 256] for i in range(0, len(unit), 256)),
         )
 
-    loader = Loader(
+    # Native C++ batch engine for uint8 stores; NumPy fallback otherwise.
+    loader = make_loader(
         train_images,
         batch_size=tc.batch_size,
         shuffle=True,
