@@ -1,5 +1,6 @@
 """Mesh / sharding helpers for multi-chip data-parallel chains."""
 
+from .distributed import global_mesh, initialize_distributed, make_global_batch
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -12,6 +13,9 @@ from .mesh import (
 )
 
 __all__ = [
+    "global_mesh",
+    "initialize_distributed",
+    "make_global_batch",
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",

@@ -1,0 +1,61 @@
+"""Multi-host (DCN) support: process initialization + global mesh.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §2.6); this is
+the greenfield TPU-native equivalent: `jax.distributed.initialize` across
+hosts, a global (data, model) mesh spanning all processes, per-host data
+feeding with `make_global_batch`, and metric reduction via replicated-output
+pjit (XLA psum over ICI within a slice, DCN across slices).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX. No-op in single-process settings.
+
+    On TPU pods the arguments are auto-detected from the environment
+    (`jax.distributed.initialize()` with no args); pass them explicitly for
+    manual setups.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except (ValueError, RuntimeError):
+        # Single-process environment (no coordinator configured): fine.
+        pass
+
+
+def global_mesh(n_model: int = 1) -> Mesh:
+    """(data, model) mesh over ALL devices of ALL processes."""
+    return make_mesh(n_model=n_model, devices=jax.devices())
+
+
+def make_global_batch(mesh: Mesh, host_batch: np.ndarray) -> jax.Array:
+    """Assemble a global, data-sharded array from per-host shards.
+
+    Each process passes its LOCAL slice of the global batch (global batch
+    size = local * process_count); rows land on that process's devices.
+    """
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    global_shape = (host_batch.shape[0] * jax.process_count(), *host_batch.shape[1:])
+    return jax.make_array_from_process_local_data(sharding, host_batch, global_shape)

@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 import jax
 import numpy as np
 
-from ..data.datasets import Loader
+from ..data.native_loader import make_loader
 from ..metrics.prauc import auprc
 from ..utils.config import Config
 from ..utils.checkpoint import save_checkpoint
@@ -80,7 +80,7 @@ def train_anomaly(
     state, models, opts = create_state(k_init, cfg)
     step = jax.jit(make_train_step(models, opts, cfg), donate_argnums=0)
 
-    loader = Loader(
+    loader = make_loader(
         train_images,
         batch_size=tc.batch_size,
         shuffle=True,

@@ -22,6 +22,7 @@ from ..parallel import batch_sharding, make_mesh, replicate, replicated
 from ..utils.config import Config
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricsLogger, save_image_grid
+from ..utils.profiling import StepTimer
 from . import sampling
 from .state import DAMCState, create_state
 from .step import make_train_step
@@ -121,15 +122,19 @@ def train_gen_recon(
     stream = loader.stream()
 
     fid_best = mse_best = float("inf")
+    timer = StepTimer()
     for it in range(iterations):
-        x_np, _ = next(stream)
-        x = jax.device_put(
-            x_np, batch_sharding(mesh) if mesh is not None else None
-        )
-        state, metrics = step(state, x)
+        with timer.phase("data"):
+            x_np, _ = next(stream)
+            x = jax.device_put(
+                x_np, batch_sharding(mesh) if mesh is not None else None
+            )
+        with timer.phase("train_step"):
+            state, metrics = step(state, x)
 
         if it % tc.print_every == 0:
-            logger.log(it, metrics)
+            jax.block_until_ready(metrics)
+            logger.log(it, {**metrics, **timer.report()})
         if img_dir and it % tc.plot_every == 0:
             x_prior, _ = jax.jit(
                 lambda k: sampling.gen_samples_damc_prior(k, state, models, cfg, 64)
