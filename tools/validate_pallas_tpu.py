@@ -14,6 +14,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def force_sync(x):
+    """True device fence (block_until_ready can be a no-op on this platform)."""
+    np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
 sys.path.insert(0, ".")
 
 from damc_tpu.models import LatentEBM
@@ -69,22 +74,22 @@ def main():
         return langevin_sample(key, zz, energy, STEPS, 0.4, True)[0]
 
     out = run_scan(jax.random.PRNGKey(3), z)
-    jax.block_until_ready(out)
+    force_sync(out)
     t0 = time.perf_counter()
     for i in range(N):
         out = run_scan(jax.random.PRNGKey(4 + i), z)
-    jax.block_until_ready(out)
+    force_sync(out)
     t_scan = time.perf_counter() - t0
 
     run_pal = lambda s: fused_prior_langevin(
         z, *weights, seed=s, steps=STEPS, step_size=0.4, with_noise=True
     )
     out = run_pal(jnp.int32(0))
-    jax.block_until_ready(out)
+    force_sync(out)
     t0 = time.perf_counter()
     for i in range(N):
         out = run_pal(jnp.int32(1 + i))
-    jax.block_until_ready(out)
+    force_sync(out)
     t_pal = time.perf_counter() - t0
 
     cs = z.shape[0] * STEPS * N
