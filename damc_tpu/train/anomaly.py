@@ -17,7 +17,7 @@ import numpy as np
 from ..data.native_loader import make_loader
 from ..metrics.prauc import auprc
 from ..utils.config import Config
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import restore_checkpoint, save_checkpoint
 from ..utils.logging import MetricsLogger
 from . import sampling
 from .state import DAMCState, ModelBundle, create_state
@@ -78,6 +78,14 @@ def train_anomaly(
     key = jax.random.PRNGKey(seed)
     k_init, k_eval = jax.random.split(key)
     state, models, opts = create_state(k_init, cfg)
+    start_iter = 0
+    if tc.resume_path:
+        import os.path as osp
+
+        directory, name = osp.split(tc.resume_path.rstrip("/"))
+        state = restore_checkpoint(directory, name, state)
+        start_iter = int(state.step)
+        print(f"[damc] resumed from {tc.resume_path} at iteration {start_iter}")
     step = jax.jit(make_train_step(models, opts, cfg), donate_argnums=0)
 
     loader = make_loader(
@@ -91,7 +99,7 @@ def train_anomaly(
     stream = loader.stream()
 
     auc_best = 0.0
-    for it in range(iterations):
+    for it in range(start_iter, iterations):
         x_np, _ = next(stream)
         state, metrics = step(state, jax.numpy.asarray(x_np))
 

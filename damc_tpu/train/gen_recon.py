@@ -20,7 +20,7 @@ from ..data.native_loader import make_loader
 from ..metrics.fid import compute_stats, fid_from_samples
 from ..parallel import batch_sharding, make_mesh, replicate, replicated
 from ..utils.config import Config
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import restore_checkpoint, save_checkpoint
 from ..utils.logging import MetricsLogger, save_image_grid
 from ..utils.profiling import StepTimer
 from . import sampling
@@ -89,6 +89,18 @@ def train_gen_recon(
     k_init, k_eval = jax.random.split(key)
     state, models, opts = create_state(k_init, cfg)
 
+    start_iter = 0
+    if tc.resume_path:
+        # Exact resume: the full pytree (incl. EBM, EMA params, optimizer
+        # states, PRNG) restores — fixing the reference's partial-resume bug
+        # (`train_gen_recon.py:163-170` drops E/E_opt/Q_dummy).
+        import os.path as osp
+
+        directory, name = osp.split(tc.resume_path.rstrip("/"))
+        state = restore_checkpoint(directory, name, state)
+        start_iter = int(state.step)
+        print(f"[damc] resumed from {tc.resume_path} at iteration {start_iter}")
+
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     if mesh is not None:
         state = replicate(mesh, state)
@@ -123,7 +135,7 @@ def train_gen_recon(
 
     fid_best = mse_best = float("inf")
     timer = StepTimer()
-    for it in range(iterations):
+    for it in range(start_iter, iterations):
         with timer.phase("data"):
             x_np, _ = next(stream)
             x = jax.device_put(
