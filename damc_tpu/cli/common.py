@@ -18,6 +18,7 @@ import numpy as np
 from ..data.datasets import (
     load_cifar10,
     load_image_folder,
+    load_image_folder_cached,
     load_mnist_anomaly,
     load_svhn,
 )
@@ -132,11 +133,11 @@ def load_dataset(cfg: Config) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         te = to_pm1(load_svhn(root, "test"))
         return tr, tr, te
     if d == "celeba64":
-        tr = load_image_folder(osp.join(root, "celeba64_train"), 64)
+        tr = load_image_folder_cached(osp.join(root, "celeba64_train"), 64)
         te = to_pm1(load_image_folder(osp.join(root, "celeba64_test"), 64))
         return tr, tr, te
     if d == "celebaHQ":
-        tr = load_image_folder(osp.join(root, "train"), 256)
+        tr = load_image_folder_cached(osp.join(root, "train"), 256)
         te = to_pm1(load_image_folder(osp.join(root, "test"), 256))
         return tr, tr, te
     if d == "mnist":

@@ -146,6 +146,25 @@ def load_image_folder(
     return out
 
 
+def load_image_folder_cached(
+    root: str, size: int, cache_path: Optional[str] = None
+) -> np.ndarray:
+    """Folder -> uint8 (N, size, size, 3) memory-mapped .npy cache.
+
+    FFHQ/CelebA-HQ-scale folders (70k x 256^2 x 3 = ~13 GB) should not live in
+    RAM: the first call decodes once into `<root>_<size>.npy`, subsequent
+    calls mmap it read-only. The native C++ loader reads straight from the
+    mapped pages (it borrows the pointer), so steady-state training touches
+    only the pages of the current batches.
+    """
+    cache_path = cache_path or (root.rstrip("/") + f"_{size}.npy")
+    if not osp.exists(cache_path):
+        data = load_image_folder(root, size)
+        np.save(cache_path, data)
+        del data
+    return np.load(cache_path, mmap_mode="r")
+
+
 def load_lsun(root: str, classes, size: int = 256):
     """LSUN lmdb reader (reference `data/dataset.py:28-185`); requires the
     optional `lmdb` package."""

@@ -101,6 +101,66 @@ def invert_batch(
     return x_hat, z, losses
 
 
+def make_inversion_train_step(
+    q_model: DAMCAmortizer,
+    stylegan_params: Dict,
+    q_optimizer,
+    refine_steps: int = 100,
+    refine_lr: float = 0.01,
+    resolution: int = 256,
+    q_updates: int = 6,
+    p_mask: float = 0.2,
+):
+    """Train step for the inversion amortizer (EXTENSION: the reference ships
+    no training script for this workload, `eval_stylegan_inv.py` only —
+    SURVEY.md §2.5 T5). One iteration mirrors the gen_recon recipe with the
+    Adam-refined inversion as the posterior target:
+
+        zk = AdamRefine(Q(x))  [frozen G/VGG/encoder]
+        6x: Q <- denoising-score-matching on (x-embedding, zk) w/ p_mask
+
+    Returns a jittable fn(q_params, q_opt_state, x, key) ->
+    (q_params, q_opt_state, metrics).
+    """
+    import optax
+
+    def step(q_params, q_opt_state, x, key):
+        k_inv, k_mask, k_loss = jax.random.split(key, 3)
+        x_hat, zk, losses = invert_batch(
+            k_inv, q_params, q_model, stylegan_params, x,
+            steps=refine_steps, lr=refine_lr, resolution=resolution,
+        )
+        zk = jax.lax.stop_gradient(zk)
+        xemb = jax.lax.stop_gradient(
+            sg.encoder_apply(stylegan_params["encoder"], x, resolution)
+        )
+        b = x.shape[0]
+        mask = (jax.random.uniform(k_mask, (b,)) >= p_mask).astype(x.dtype)[:, None]
+
+        def q_update(i, carry):
+            params, opt_state, _ = carry
+            k = jax.random.fold_in(k_loss, i)
+            loss_fn = lambda p: q_model.apply(
+                p, k, zk, None, mask, xemb, method="loss"
+            ).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = q_optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, loss)
+
+        q_params, q_opt_state, q_loss = jax.lax.fori_loop(
+            0, q_updates, q_update, (q_params, q_opt_state, jnp.zeros(()))
+        )
+        recon = jnp.mean((x_hat - x).reshape(b, -1) ** 2)
+        return q_params, q_opt_state, {
+            "q_loss": q_loss,
+            "recon_mse": recon,
+            "refine_loss_final": losses[-1],
+        }
+
+    return step
+
+
 def evaluate_inversion(
     key: jax.Array,
     q_params,
