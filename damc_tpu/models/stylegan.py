@@ -26,7 +26,7 @@ parity against the torch reference is tested layer-by-layer in
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

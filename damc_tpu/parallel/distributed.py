@@ -9,13 +9,13 @@ pjit (XLA psum over ICI within a slice, DCN across slices).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+from .mesh import DATA_AXIS, make_mesh
 
 
 def initialize_distributed(

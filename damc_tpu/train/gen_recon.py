@@ -9,9 +9,8 @@ batch/chains sharded on `data`).
 
 from __future__ import annotations
 
-import dataclasses
 import os
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import numpy as np

@@ -14,7 +14,6 @@ iteration (`sample_z(bs, args.seed)` with a fixed seed, `toy_example.py:184`)
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
