@@ -1,0 +1,89 @@
+"""Config presets must match the reference defaults exactly (SURVEY.md §5)."""
+
+import pytest
+
+from damc_tpu.utils import preset
+
+
+def test_cifar10_preset():
+    cfg = preset("cifar10")
+    # train_gen_recon.py:58-60, 351-406
+    assert (cfg.model.nz, cfg.model.ngf) == (128, 128)
+    assert cfg.model.nxemb == 1024 and cfg.model.ntemb == 128 and cfg.model.nif == 64
+    assert cfg.diffusion.n_interval == 100
+    assert cfg.diffusion.logsnr_min == -5.1 and cfg.diffusion.logsnr_max == 9.8
+    assert cfg.diffusion.residual and cfg.diffusion.var_type == "large"
+    assert cfg.diffusion.with_noise and cfg.diffusion.p_mask == 0.2
+    assert cfg.mcmc.g_l_steps == 30 and cfg.mcmc.g_l_step_size == 0.1
+    assert cfg.mcmc.g_llhd_sigma == 0.1
+    assert cfg.mcmc.e_l_steps == 60 and cfg.mcmc.e_l_step_size == 0.4
+    assert (cfg.optim.g_lr, cfg.optim.e_lr, cfg.optim.q_lr) == (2e-4, 1e-4, 2e-4)
+    assert cfg.optim.betas == (0.5, 0.999)
+    assert cfg.optim.q_weight_decay == 1e-4
+    assert cfg.optim.q_max_norm == 100.0
+    assert cfg.train.batch_size == 128
+    assert cfg.train.q_updates == 6
+    assert cfg.train.ema_rho == 0.005 and cfg.train.ema_every == 10
+    assert cfg.train.prior_chains == "double"
+    assert cfg.train.n_fid_samples == 50_000
+
+
+def test_svhn_celeba_presets():
+    svhn = preset("svhn")
+    assert (svhn.model.nz, svhn.model.ngf) == (100, 64)  # train_gen_recon.py:64-66
+    c64 = preset("celeba64")
+    assert (c64.model.nz, c64.model.ngf) == (100, 128)  # :70-72
+    chq = preset("celebaHQ")
+    assert (chq.model.nz, chq.model.ngf) == (128, 128)  # :89-91
+    assert chq.mcmc.g_llhd_sigma == 1.0  # README.md:58
+    assert chq.model.image_size == 256
+
+
+def test_anomaly_preset():
+    cfg = preset("mnist_anomaly")
+    # train_anomaly_det.py:260-290
+    assert cfg.model.nz == 8 and cfg.model.ngf == 128 and cfg.model.nif == 128
+    assert cfg.model.nxemb == 1024 and cfg.model.nc == 1
+    assert cfg.mcmc.g_llhd_sigma == 1.0
+    assert (cfg.optim.g_lr, cfg.optim.e_lr, cfg.optim.q_lr) == (1e-4, 5e-5, 1e-4)
+    assert cfg.optim.q_weight_decay == 0.0
+    assert cfg.train.prior_chains == "single"
+    assert cfg.train.q_loss_both_branches and not cfg.train.random_mask
+    assert cfg.train.eval_every == 500 and cfg.train.ckpt_every == 1000
+    assert cfg.train.heldout_digit == 9
+
+
+def test_toy_preset():
+    cfg = preset("toy")
+    # toy_example.py:304-341
+    assert cfg.model.nz == 2 and cfg.model.nxemb == 128
+    assert cfg.diffusion.p_mask == 0.1
+    assert cfg.mcmc.g_l_steps == 50 and cfg.mcmc.g_llhd_sigma == 0.25
+    assert cfg.optim.q_weight_decay == 1e-2
+    assert cfg.train.batch_size == 500 and cfg.train.ema_rho == 0.75
+    assert cfg.train.prior_chains == "none"
+    assert not cfg.train.update_g and not cfg.train.update_e
+
+
+def test_unknown_preset_raises():
+    with pytest.raises(ValueError):
+        preset("imagenet")
+
+
+def test_cli_overrides():
+    import argparse
+
+    from damc_tpu.cli.common import add_common_flags, config_from_args
+
+    p = argparse.ArgumentParser()
+    add_common_flags(p)
+    args = p.parse_args(
+        ["--dataset", "svhn", "--g_l_steps", "7", "--q_lr", "3e-4", "--batch_size", "32"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.model.dataset == "svhn"
+    assert cfg.mcmc.g_l_steps == 7
+    assert cfg.optim.q_lr == 3e-4
+    assert cfg.train.batch_size == 32
+    # untouched defaults survive
+    assert cfg.mcmc.e_l_steps == 60
