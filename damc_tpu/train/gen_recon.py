@@ -147,9 +147,27 @@ def train_gen_recon(
             jax.block_until_ready(metrics)
             logger.log(it, {**metrics, **timer.report()})
         if img_dir and it % tc.plot_every == 0:
+            # Grid dumps mirroring `train_gen_recon.py:267-280`: observations,
+            # posterior recon (Q init + Langevin), Q-only recon, prior samples.
+            k_plot = jax.random.fold_in(k_eval, it)
+            n_show = min(64, tc.batch_size)
+            save_image_grid(np.asarray(x[:n_show]), f"{img_dir}/{it}_obs.png")
+            x_hat, _ = jax.jit(
+                lambda k, xb: sampling.reconstruct(
+                    k, state, models, cfg, xb, langevin_steps=cfg.mcmc.g_l_steps
+                )
+            )(k_plot, x[:n_show])
+            save_image_grid(np.asarray(x_hat), f"{img_dir}/{it}_post.png")
+            zq = jax.jit(
+                lambda k, xb: sampling.sample_q(
+                    state.params_q_ema, models.amortizer, k, x=xb
+                )
+            )(jax.random.fold_in(k_plot, 1), x[:n_show])
+            x_hat_q = models.generator.apply(state.params_g, zq)
+            save_image_grid(np.asarray(x_hat_q), f"{img_dir}/{it}_post_Q.png")
             x_prior, _ = jax.jit(
-                lambda k: sampling.gen_samples_damc_prior(k, state, models, cfg, 64)
-            )(jax.random.fold_in(k_eval, it))
+                lambda k: sampling.gen_samples_damc_prior(k, state, models, cfg, n_show)
+            )(jax.random.fold_in(k_plot, 2))
             save_image_grid(np.asarray(x_prior), f"{img_dir}/{it}_prior.png")
         if ckpt_dir and it > 0 and it % tc.ckpt_every == 0:
             save_checkpoint(ckpt_dir, str(it), state)
