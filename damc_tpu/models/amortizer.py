@@ -159,6 +159,20 @@ class DAMCAmortizer(nn.Module):
         eps_pred = self.p(zt, logsnr, xemb)
         return 0.5 * jnp.sum((eps - eps_pred) ** 2, axis=-1)
 
+    def terminal_reg(self, key: jax.Array, z: jax.Array) -> jax.Array:
+        """T-step energy regularizer 0.5 ||z_T||^2 on the fully-diffused
+        latent (StyleGAN variant's `calculate_reg`,
+        `diffusion_net_stylegan.py:428-437`; defined for parity — the
+        reference eval script never calls it)."""
+        b = z.shape[0]
+        logsnr_T = logsnr_schedule(
+            jnp.ones((b,)), self.logsnr_min, self.logsnr_max
+        )
+        dist = diffusion_forward(z, logsnr_T[:, None])
+        eps = jax.random.normal(key, z.shape, z.dtype)
+        z_T = dist.mean + dist.std.astype(z.dtype) * eps
+        return 0.5 * jnp.sum(z_T**2, axis=-1)
+
 
 def sample_q(
     params,

@@ -10,6 +10,7 @@ batch/chains sharded on `data`).
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Callable, Dict, Optional
 
 import jax
@@ -28,15 +29,22 @@ from .step import make_train_step
 
 
 def evaluate_fid(
-    key, state, models, cfg, feature_fn, real_mu, real_sigma, n_samples, batch, prior
+    key, state, models, cfg, feature_fn, real_mu, real_sigma, n_samples, batch,
+    prior, mesh=None,
 ):
     """FID via the DAMC prior (`calculate_fid_with_diffusion_prior`) or the
-    EBM-prior Langevin chain (`calculate_fid`), `MCMC.py:130-176`."""
+    EBM-prior Langevin chain (`calculate_fid`), `MCMC.py:130-176`.
+
+    With a mesh, each generation batch is sharded over the `data` axis so the
+    50k-sample sweep scales across chips."""
     gen = (
         sampling.gen_samples_damc_prior if prior == "damc" else sampling.gen_samples_ebm_prior
     )
 
-    @jax.jit
+    @partial(
+        jax.jit,
+        out_shardings=batch_sharding(mesh) if mesh is not None else None,
+    )
     def one_batch(k):
         out = gen(k, state, models, cfg, batch)
         x = out[0] if isinstance(out, tuple) else out
@@ -145,7 +153,17 @@ def train_gen_recon(
 
         if it % tc.print_every == 0:
             jax.block_until_ready(metrics)
-            logger.log(it, {**metrics, **timer.report()})
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            # Failure detection (the reference trains blind; SURVEY.md §5):
+            # a NaN in any loss means the run is dead — fail loudly with
+            # context instead of burning TPU hours.
+            bad = [k for k, v in host_metrics.items() if not np.isfinite(v)]
+            if bad:
+                raise FloatingPointError(
+                    f"non-finite training metrics {bad} at iteration {it}; "
+                    f"last metrics: {host_metrics}"
+                )
+            logger.log(it, {**host_metrics, **timer.report()})
         if img_dir and it % tc.plot_every == 0:
             # Grid dumps mirroring `train_gen_recon.py:267-280`: observations,
             # posterior recon (Q init + Langevin), Q-only recon, prior samples.
@@ -177,12 +195,12 @@ def train_gen_recon(
             eval_metrics["fid_damc"] = evaluate_fid(
                 jax.random.fold_in(k_eval, 2 * it),
                 state, models, cfg, feature_fn, real_mu, real_sigma,
-                tc.n_fid_samples, tc.batch_size, prior="damc",
+                tc.n_fid_samples, tc.batch_size, prior="damc", mesh=mesh,
             )
             eval_metrics["fid_ebm"] = evaluate_fid(
                 jax.random.fold_in(k_eval, 2 * it + 1),
                 state, models, cfg, feature_fn, real_mu, real_sigma,
-                tc.n_fid_samples, tc.batch_size, prior="ebm",
+                tc.n_fid_samples, tc.batch_size, prior="ebm", mesh=mesh,
             )
             if mse_images is not None:
                 eval_metrics["recon_mse"] = evaluate_mse(
