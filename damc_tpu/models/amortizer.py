@@ -183,6 +183,7 @@ def sample_q(
     cond_w: float = 0.0,
     xemb: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    hoisted: bool = True,
 ) -> jax.Array:
     """Draw z ~ Q(. | x) (posterior) or z ~ Q(.) (prior when x is None).
 
@@ -190,6 +191,11 @@ def sample_q(
     `lax.scan` (see `ops/reverse_diffusion.py`). Mirrors `_netQ_U.forward`
     (`diffusion_net.py:585-622`) including optional classifier-free guidance.
     Pass `xemb` directly for external-encoder variants (StyleGAN).
+
+    When `hoisted` (default) and no guidance is active, the per-step-constant
+    context matmuls of every denoiser layer are precomputed once for the
+    whole sweep (exact same math, hoisted out of the scan — see
+    `models/denoiser.py::LatentDenoiser.sample_tables`).
     """
     key_init, key_emb, key_sweep = jax.random.split(key, 3)
 
@@ -206,16 +212,46 @@ def sample_q(
 
     z_init = jax.random.normal(key_init, (b, model.nz), dtype)
 
-    def denoise_fn(z, logsnr):
-        return model.apply(params, z, logsnr, xemb, method="denoise")
-
+    use_guidance = x is not None and cond_w > 0
     guided = None
-    if x is not None and cond_w > 0:
+    step_xs = None
 
-        def guided(step_key, z, logsnr):
-            noise = jax.random.normal(step_key, (b, model.nz), dtype)
-            xemb_unc = model.apply(params, noise, method="prior_embed")
-            return model.apply(params, z, logsnr, xemb_unc, method="denoise")
+    if hoisted and not use_guidance:
+        # Precompute the sweep's logsnr grid (same order as the scan:
+        # i = n-1 .. 0) and the split context tables.
+        n = model.n_interval
+        i_arr = jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
+        from ..ops.diffusion import logsnr_schedule
+
+        grid = logsnr_schedule(
+            i_arr / (n - 1.0), model.logsnr_min, model.logsnr_max
+        )
+        tables = model.apply(
+            params, grid, xemb, method=lambda m, g, e: m.p.sample_tables(g, e)
+        )
+        step_xs = tables["pre_t"]  # leading axis n, sliced by the scan
+        pre_x = tables["pre_x"]
+
+        def denoise_fn(z, logsnr, pre_t_step):
+            return model.apply(
+                params,
+                z,
+                pre_t_step,
+                pre_x,
+                method=lambda m, zz, t, xx: m.p.denoise_from_tables(zz, t, xx),
+            )
+
+    else:
+
+        def denoise_fn(z, logsnr):
+            return model.apply(params, z, logsnr, xemb, method="denoise")
+
+        if use_guidance:
+
+            def guided(step_key, z, logsnr):
+                noise = jax.random.normal(step_key, (b, model.nz), dtype)
+                xemb_unc = model.apply(params, noise, method="prior_embed")
+                return model.apply(params, z, logsnr, xemb_unc, method="denoise")
 
     return reverse_diffusion_sample(
         key_sweep,
@@ -228,4 +264,5 @@ def sample_q(
         with_noise=model.with_noise,
         guided_denoise_fn=guided,
         cond_w=cond_w,
+        step_xs=step_xs,
     )

@@ -37,6 +37,7 @@ def reverse_diffusion_sample(
     with_noise: bool = True,
     guided_denoise_fn: Optional[Callable[[jax.Array, jax.Array, jax.Array], jax.Array]] = None,
     cond_w: float = 0.0,
+    step_xs=None,
 ) -> jax.Array:
     """Ancestral sampling from z_T ~ N(0, I) down to z_0.
 
@@ -57,6 +58,10 @@ def reverse_diffusion_sample(
         UNconditional branch of classifier-free guidance; combined as
         (1 + cond_w) * eps_cond - cond_w * eps_unc when cond_w > 0
         (reference: `diffusion_net.py:603-606`).
+      step_xs: optional pytree with leading axis n_interval (ordered like the
+        sweep: index 0 = step i=n-1); when given, its per-step slice is passed
+        to denoise_fn as a third argument — used for precomputed context
+        tables (the hoisted denoiser path, `models/denoiser.py`).
 
     Returns:
       z_0 samples, (B, nz), with gradients stopped (the reference consumes
@@ -75,9 +80,12 @@ def reverse_diffusion_sample(
     use_guidance = guided_denoise_fn is not None and cond_w > 0
 
     def body(zt, xs):
-        logsnr_t, logsnr_s, last, step_key = xs
+        logsnr_t, logsnr_s, last, step_key, step_x = xs
         logsnr_t_vec = jnp.full((b,), logsnr_t)
-        eps_pred = denoise_fn(zt, logsnr_t_vec)
+        if step_x is None:
+            eps_pred = denoise_fn(zt, logsnr_t_vec)
+        else:
+            eps_pred = denoise_fn(zt, logsnr_t_vec, step_x)
         if use_guidance:
             cfg_key, step_key = jax.random.split(step_key)
             eps_unc = guided_denoise_fn(cfg_key, zt, logsnr_t_vec)
@@ -98,6 +106,6 @@ def reverse_diffusion_sample(
 
     step_keys = jax.random.split(key, n)
     z0, _ = jax.lax.scan(
-        body, z_init, (logsnr_t_arr, logsnr_s_arr, is_last, step_keys)
+        body, z_init, (logsnr_t_arr, logsnr_s_arr, is_last, step_keys, step_xs)
     )
     return jax.lax.stop_gradient(z0)

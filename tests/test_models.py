@@ -143,6 +143,22 @@ def test_amortizer_init_and_loss():
     assert loss_p.shape == (2,)
 
 
+def test_hoisted_sampling_matches_standard():
+    """The ctx-hoisted sweep (per-step-constant matmuls precomputed) must
+    equal the straightforward path — same keys, same math, reassociated."""
+    from damc_tpu.models.amortizer import sample_q
+
+    q = DAMCAmortizer(nz=8, nxemb=16, ntemb=8, nf=2, nif=4, dataset="mnist", n_interval=6)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 28, 28, 1))
+    params = q.init(KEY, x)
+    for kwargs in ({"x": x}, {"b": 3}):
+        z_fast = sample_q(params, q, jax.random.PRNGKey(2), hoisted=True, **kwargs)
+        z_slow = sample_q(params, q, jax.random.PRNGKey(2), hoisted=False, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(z_fast), np.asarray(z_slow), atol=1e-4
+        )
+
+
 def test_mlp_encoder_shape():
     enc = MLPEncoder(nemb=128)
     x = jnp.zeros((3, 2))
