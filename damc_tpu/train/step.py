@@ -64,6 +64,10 @@ def make_train_step(
 
         # ---- 2. Posterior Langevin refinement ----------------------------
         gen_fn = lambda z: models.generator.apply(sg(state.params_g), z)
+        if tc.remat_generator:
+            # Trade FLOPs for activation memory in the per-step G fwd+bwd
+            # (useful at 256^2 with large batches).
+            gen_fn = jax.checkpoint(gen_fn)
         if models.ebm is not None:
             ebm_fn = lambda z: models.ebm.apply(sg(state.params_e), z)
             post_energy = posterior_energy(gen_fn, ebm_fn, x, mc.g_llhd_sigma)

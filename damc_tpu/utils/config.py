@@ -88,6 +88,9 @@ class TrainConfig:
     # Use the fused Pallas prior-Langevin kernel on TPU (exact-parity
     # fallback to lax.scan elsewhere; see ops/pallas/fused_langevin.py).
     use_pallas: bool = True
+    # Rematerialize the generator inside the posterior-Langevin gradient
+    # (trades FLOPs for activation memory; for very large image configs).
+    remat_generator: bool = False
     update_g: bool = True
     update_e: bool = True
     print_every: int = 100
