@@ -77,6 +77,8 @@ class DAMCAmortizer(nn.Module):
     with_noise: bool = True
     residual: bool = True
     cond_w: float = 0.0
+    # conv-encoder compute dtype; the denoiser stays fp32 (schedule safety)
+    encoder_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         widths = None
@@ -89,7 +91,9 @@ class DAMCAmortizer(nn.Module):
             self.encoder = None
             widths = (1024, 1024)
         else:
-            self.encoder = make_encoder(self.dataset, nemb=self.nxemb, nif=self.nif)
+            self.encoder = make_encoder(
+                self.dataset, nemb=self.nxemb, nif=self.nif, dtype=self.encoder_dtype
+            )
         self.prior_emb = PriorEmbedder(nxemb=self.nxemb)
         self.p = LatentDenoiser(
             nz=self.nz,

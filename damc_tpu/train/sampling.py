@@ -114,9 +114,9 @@ def anomaly_scores(
     langevin_steps: int = 10,
 ) -> jax.Array:
     """Anomaly score: ||x_hat - x||^2 + E(z) + 0.5 ||z||^2 after Q init +
-    noiseless posterior Langevin (`train_anomaly_det.py:206-248`; higher =
-    more anomalous ... the reference uses -score as the PR target, see
-    `eval_anomaly_det.py:108-126`)."""
+    noiseless posterior Langevin (`train_anomaly_det.py:206-248`,
+    `eval_anomaly_det.py:100-125`). Higher = more anomalous; fed to the PR
+    curve directly with anomaly-label 1, matching the reference."""
     x_hat, z = reconstruct(key, state, models, cfg, x, langevin_steps)
     b = x.shape[0]
     recon = jnp.sum((x_hat - x).reshape(b, -1) ** 2, axis=-1)

@@ -88,11 +88,12 @@ def make_optimizers(cfg: Config) -> Optimizers:
 
 def build_models(cfg: Config) -> ModelBundle:
     m, d = cfg.model, cfg.diffusion
+    dtype = jnp.dtype(m.compute_dtype)
     if m.dataset == "toy":
         generator = ToyGenerator()
         ebm = None
     else:
-        generator = make_generator(m.dataset, ngf=m.ngf, nc=m.nc)
+        generator = make_generator(m.dataset, ngf=m.ngf, nc=m.nc, dtype=dtype)
         ebm = LatentEBM(ndf=m.ndf)
     amortizer = DAMCAmortizer(
         nz=m.nz,
@@ -102,6 +103,7 @@ def build_models(cfg: Config) -> ModelBundle:
         nif=m.nif,
         nc=m.nc,
         dataset=m.dataset,
+        encoder_dtype=dtype,
         n_interval=d.n_interval,
         logsnr_min=d.logsnr_min,
         logsnr_max=d.logsnr_max,

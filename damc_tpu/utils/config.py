@@ -27,6 +27,10 @@ class ModelConfig:
     nf: int = 4  # denoiser width factor
     nc: int = 3  # image channels
     image_size: int = 32
+    # Compute dtype for the conv nets (generator/encoder). 'bfloat16' halves
+    # activation HBM traffic; params and the diffusion/Langevin math stay
+    # fp32 (SURVEY.md §7: schedule math is bf16-unsafe at the endpoints).
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
