@@ -28,15 +28,12 @@ from .state import DAMCState, create_state
 from .step import make_train_step
 
 
-def evaluate_fid(
-    key, state, models, cfg, feature_fn, real_mu, real_sigma, n_samples, batch,
-    prior, mesh=None,
-):
-    """FID via the DAMC prior (`calculate_fid_with_diffusion_prior`) or the
-    EBM-prior Langevin chain (`calculate_fid`), `MCMC.py:130-176`.
+def make_fid_batch_fn(models, cfg, batch, prior, mesh=None):
+    """Jitted fn(state, key) -> one batch of generated images in [0, 1].
 
-    With a mesh, each generation batch is sharded over the `data` axis so the
-    50k-sample sweep scales across chips."""
+    Takes `state` as an ARGUMENT so the compiled program is reused across
+    eval iterations (a closure over state would re-trace every eval). With a
+    mesh, generation shards over the `data` axis."""
     gen = (
         sampling.gen_samples_damc_prior if prior == "damc" else sampling.gen_samples_ebm_prior
     )
@@ -45,31 +42,52 @@ def evaluate_fid(
         jax.jit,
         out_shardings=batch_sharding(mesh) if mesh is not None else None,
     )
-    def one_batch(k):
+    def one_batch(state, k):
         out = gen(k, state, models, cfg, batch)
         x = out[0] if isinstance(out, tuple) else out
         return sampling.to_unit_range(x)
 
+    return one_batch
+
+
+def evaluate_fid(
+    key, state, models, cfg, feature_fn, real_mu, real_sigma, n_samples, batch,
+    prior, mesh=None, batch_fn=None,
+):
+    """FID via the DAMC prior (`calculate_fid_with_diffusion_prior`) or the
+    EBM-prior Langevin chain (`calculate_fid`), `MCMC.py:130-176`."""
+    one_batch = batch_fn or make_fid_batch_fn(models, cfg, batch, prior, mesh)
+
     def batches():
         for i in range(max(n_samples // batch, 1)):
-            yield np.asarray(one_batch(jax.random.fold_in(key, i)))
+            yield np.asarray(one_batch(state, jax.random.fold_in(key, i)))
 
     return fid_from_samples(feature_fn, batches(), real_mu, real_sigma)
 
 
-def evaluate_mse(key, state, models, cfg, eval_images: np.ndarray, batch: int) -> float:
-    """Test-set recon MSE: Q init + 10-step noiseless Langevin
-    (`train_gen_recon.py:324-348`)."""
-    recon = jax.jit(
-        lambda k, x: sampling.recon_mse(
-            sampling.reconstruct(k, state, models, cfg, x, langevin_steps=10)[0], x
+def make_recon_fn(models, cfg, langevin_steps: int = 10):
+    """Jitted fn(state, key, x) -> batch recon-MSE sum (state as argument)."""
+    return jax.jit(
+        lambda state, k, x: sampling.recon_mse(
+            sampling.reconstruct(
+                k, state, models, cfg, x, langevin_steps=langevin_steps
+            )[0],
+            x,
         )
     )
+
+
+def evaluate_mse(
+    key, state, models, cfg, eval_images: np.ndarray, batch: int, recon_fn=None
+) -> float:
+    """Test-set recon MSE: Q init + 10-step noiseless Langevin
+    (`train_gen_recon.py:324-348`)."""
+    recon = recon_fn or make_recon_fn(models, cfg)
     total = 0.0
     n = len(eval_images)
     for i in range(0, n - n % batch, batch):
         x = jax.numpy.asarray(eval_images[i : i + batch])
-        total += float(recon(jax.random.fold_in(key, i), x))
+        total += float(recon(state, jax.random.fold_in(key, i), x))
     return total / max(n - n % batch, 1)
 
 
@@ -142,6 +160,10 @@ def train_gen_recon(
 
     fid_best = mse_best = float("inf")
     timer = StepTimer()
+    # Eval programs compiled ONCE (state passed as an argument).
+    fid_damc_fn = make_fid_batch_fn(models, cfg, tc.batch_size, "damc", mesh)
+    fid_ebm_fn = make_fid_batch_fn(models, cfg, tc.batch_size, "ebm", mesh)
+    recon_fn = make_recon_fn(models, cfg)
     for it in range(start_iter, iterations):
         with timer.phase("data"):
             x_np, _ = next(stream)
@@ -195,17 +217,18 @@ def train_gen_recon(
             eval_metrics["fid_damc"] = evaluate_fid(
                 jax.random.fold_in(k_eval, 2 * it),
                 state, models, cfg, feature_fn, real_mu, real_sigma,
-                tc.n_fid_samples, tc.batch_size, prior="damc", mesh=mesh,
+                tc.n_fid_samples, tc.batch_size, prior="damc", mesh=mesh, batch_fn=fid_damc_fn,
             )
             eval_metrics["fid_ebm"] = evaluate_fid(
                 jax.random.fold_in(k_eval, 2 * it + 1),
                 state, models, cfg, feature_fn, real_mu, real_sigma,
-                tc.n_fid_samples, tc.batch_size, prior="ebm", mesh=mesh,
+                tc.n_fid_samples, tc.batch_size, prior="ebm", mesh=mesh, batch_fn=fid_ebm_fn,
             )
             if mse_images is not None:
                 eval_metrics["recon_mse"] = evaluate_mse(
                     jax.random.fold_in(k_eval, it),
                     state, models, cfg, mse_images, tc.batch_size,
+                    recon_fn=recon_fn,
                 )
                 mse_best = min(mse_best, eval_metrics["recon_mse"])
             if eval_metrics["fid_damc"] < fid_best:
