@@ -16,6 +16,7 @@ import numpy as np
 
 from ..data.native_loader import make_loader
 from ..metrics.prauc import auprc
+from ..parallel import batch_sharding, make_mesh, replicate, replicated
 from ..utils.config import Config
 from ..utils.checkpoint import restore_checkpoint, save_checkpoint
 from ..utils.logging import MetricsLogger
@@ -67,6 +68,7 @@ def train_anomaly(
     iterations: Optional[int] = None,
     log_dir: Optional[str] = None,
     seed: Optional[int] = None,
+    use_mesh: bool = False,
 ) -> Tuple[DAMCState, float]:
     """Run anomaly training; returns (final state, best AUPRC)."""
     tc = cfg.train
@@ -86,7 +88,18 @@ def train_anomaly(
         state = restore_checkpoint(directory, name, state)
         start_iter = int(state.step)
         print(f"[damc] resumed from {tc.resume_path} at iteration {start_iter}")
-    step = jax.jit(make_train_step(models, opts, cfg), donate_argnums=0)
+
+    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    if mesh is not None:
+        state = replicate(mesh, state)
+        step = jax.jit(
+            make_train_step(models, opts, cfg),
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=(replicated(mesh), replicated(mesh)),
+            donate_argnums=0,
+        )
+    else:
+        step = jax.jit(make_train_step(models, opts, cfg), donate_argnums=0)
 
     loader = make_loader(
         train_images,
@@ -101,7 +114,10 @@ def train_anomaly(
     auc_best = 0.0
     for it in range(start_iter, iterations):
         x_np, _ = next(stream)
-        state, metrics = step(state, jax.numpy.asarray(x_np))
+        x = jax.device_put(
+            x_np, batch_sharding(mesh) if mesh is not None else None
+        )
+        state, metrics = step(state, x)
 
         if it % tc.print_every == 0:
             logger.log(it, metrics)
