@@ -123,6 +123,37 @@ def test_ebm_parity_with_reference():
 
 
 @pytest.mark.slow
+def test_prior_embedder_parity_with_reference():
+    """The prior-embedding MLP uses torch's DEFAULT LeakyReLU slope 0.01
+    (`diffusion_net.py:577-581`), unlike the 0.2 used elsewhere — pin it."""
+    import torch
+
+    from src.diffusion_net import _netQ_U  # noqa: F401  (for the Sequential spec)
+
+    nz, nxemb = 6, 10
+    torch.manual_seed(5)
+    ref = torch.nn.Sequential(
+        torch.nn.Linear(nz, 128), torch.nn.LeakyReLU(), torch.nn.Linear(128, nxemb)
+    )
+    ref.eval()
+
+    from damc_tpu.models.amortizer import PriorEmbedder
+
+    mine = PriorEmbedder(nxemb=nxemb)
+    params = {
+        "params": {
+            "Dense_0": dense_p(ref[0]),
+            "Dense_1": dense_p(ref[2]),
+        }
+    }
+    noise = np.random.RandomState(6).randn(4, nz).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(noise)).numpy()
+    got = mine.apply(params, jnp.asarray(noise))
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_encoder_parity_with_reference():
     import torch
 
