@@ -105,9 +105,17 @@ def config_from_args(args, preset_name: Optional[str] = None) -> Config:
 
 
 def make_log_dir(cfg: Config) -> str:
+    """Timestamped run dir with the full config serialized for provenance
+    (supersedes the reference's self-copy of the launch script,
+    `train_gen_recon.py:46`)."""
+    import dataclasses as dc
+    import json
+
     stamp = dt.datetime.now().strftime("%Y%m%d_%H%M%S")
     log_dir = osp.join(cfg.train.log_path, cfg.model.dataset, stamp)
     os.makedirs(log_dir, exist_ok=True)
+    with open(osp.join(log_dir, "config.json"), "w") as f:
+        json.dump(dc.asdict(cfg), f, indent=2, default=str)
     return log_dir
 
 
