@@ -1,0 +1,84 @@
+"""CLI end-to-end integration: train_gen_recon + eval_gen_recon over a
+fabricated CIFAR-10 pickle tree (exercises argparse -> config -> data readers
+-> driver -> checkpoints -> eval restore)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from damc_tpu.utils import profiling  # noqa: F401  (import coverage)
+
+
+def fake_cifar(root: str, n_train=40, n_test=16, seed=0):
+    base = os.path.join(root, "cifar-10-batches-py")
+    os.makedirs(base, exist_ok=True)
+    rng = np.random.RandomState(seed)
+
+    def write(name, n):
+        data = rng.randint(0, 256, (n, 3072), np.uint8)
+        with open(os.path.join(base, name), "wb") as f:
+            pickle.dump({"data": data, "labels": [0] * n}, f)
+
+    for i in range(1, 6):
+        write(f"data_batch_{i}", n_train // 5)
+    write("test_batch", n_test)
+
+
+@pytest.mark.slow
+def test_train_and_eval_cli_roundtrip(tmp_path, monkeypatch):
+    from damc_tpu.cli import eval_gen_recon, train_gen_recon
+
+    data_dir = str(tmp_path / "data")
+    log_dir = str(tmp_path / "logs")
+    fake_cifar(data_dir)
+
+    common = [
+        "--dataset", "cifar10",
+        "--data_path", data_dir,
+        "--log_path", log_dir,
+        # tiny model + schedule so CPU CI stays fast
+        "--nz", "8", "--ngf", "8", "--nif", "8", "--nxemb", "16", "--ntemb", "16",
+        "--n_interval", "2", "--g_l_steps", "2", "--e_l_steps", "2",
+        "--batch_size", "8", "--n_fid_samples", "16",
+    ]
+    train_gen_recon.main(common + ["--iterations", "3"])
+
+    # one run dir with config provenance + ckpt/best from the eval gate
+    runs = os.listdir(os.path.join(log_dir, "cifar10"))
+    assert len(runs) == 1
+    run_dir = os.path.join(log_dir, "cifar10", runs[0])
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    assert os.path.exists(os.path.join(ckpt_dir, "best"))
+
+    # eval CLI restores the checkpoint and prints FID + MSE without error
+    eval_gen_recon.main(common + ["--ckpt_dir", ckpt_dir, "--ckpt_name", "best"])
+
+
+def test_step_timer_reports():
+    import time
+
+    from damc_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(ema=0.5)
+    for _ in range(3):
+        with t.phase("work"):
+            time.sleep(0.01)
+    rep = t.report()
+    assert rep["time_s/work"] >= 0.005
+    assert rep["steps_per_s/work"] > 0
+
+
+def test_global_batch_single_process():
+    import jax
+
+    from damc_tpu.parallel import global_mesh, make_global_batch
+
+    mesh = global_mesh()
+    host = np.arange(16 * 2, dtype=np.float32).reshape(16, 2)
+    arr = make_global_batch(mesh, host)
+    assert arr.shape == (16, 2)
+    np.testing.assert_array_equal(np.asarray(arr), host)
