@@ -62,6 +62,9 @@ A6000_BASELINE_CHAIN_STEPS_PER_SEC = 82_000.0
 
 
 def main():
+    from damc_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     cfg = preset("cifar10")
     mc = cfg.mcmc
     B = 128

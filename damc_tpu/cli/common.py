@@ -25,6 +25,17 @@ from ..data.datasets import (
 from ..utils.config import Config, preset
 
 
+def enable_compile_cache(path: str = "~/.cache/damc/jax_compile") -> None:
+    """Persistent XLA compilation cache — long-scan programs can take minutes
+    to compile through remote-compile tunnels; cache them across processes."""
+    import jax
+
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dataset", type=str, default="cifar10")

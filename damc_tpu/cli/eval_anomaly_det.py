@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--ckpt_name", type=str, default="best")
     args = p.parse_args(argv)
 
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     cfg = config_from_args(args, preset_name="mnist_anomaly")
     if args.g_llhd_sigma is None:
         sigma = PER_LABEL_SIGMA.get(cfg.train.heldout_digit, 1.0)

@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--ckpt_name", type=str, default="best")
     args = p.parse_args(argv)
 
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     cfg = config_from_args(args)
     if args.e_l_steps is None:  # eval default: 100 prior Langevin steps
         cfg = dataclasses.replace(

@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--n_interval", type=int, default=None)
     args = p.parse_args(argv)
 
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     cfg = preset("toy")
     if args.n_interval is not None:
         cfg = dataclasses.replace(

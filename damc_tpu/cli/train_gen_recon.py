@@ -22,6 +22,9 @@ def main(argv=None):
     add_common_flags(p)
     args = p.parse_args(argv)
 
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     cfg = config_from_args(args)
     log_dir = make_log_dir(cfg)
     print(f"[damc] logging to {log_dir}")
