@@ -1,0 +1,186 @@
+"""Reference-checkpoint migration: torch `.pth.tar` -> damc_tpu param trees.
+
+Lets a user of the PyTorch reference switch to this framework mid-project:
+converts the reference's training checkpoints (`train_gen_recon.py:282-294`
+save format — G/Q/Q_dummy/E state dicts) into our Flax param trees with
+EXACT numerical parity (verified layer-by-layer in tests/test_torch_parity.py
+and tests/test_torch_compat.py).
+
+Mappings (all verified empirically against torch):
+  * Linear (out,in) -> Dense kernel (in,out) transpose
+  * Conv2d OIHW -> Conv HWIO transpose(2,3,1,0)
+  * ConvTranspose2d (in,out,kh,kw) -> flax ConvTranspose (kh,kw,in,out) with
+    a SPATIAL FLIP (torch's transposed conv flips; flax's does not)
+  * InstanceNorm2d affine -> GroupNorm(group_size=1) scale/bias
+  * ConcatSquashLinearSkipCtx -> ConcatSquashLinear (ctx kernel/bias owned
+    directly; gate/bias/lin/skip as named Dense submodules)
+
+Optimizer states are NOT converted (torch Adam moments and optax states have
+different dtypes/trees); training resumes with fresh optimizers, which the
+reference itself effectively does for E (`train_gen_recon.py:163-170`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t, np.float32)
+
+
+def _dense(sd, prefix):
+    p = {"kernel": jnp.asarray(_np(sd[f"{prefix}.weight"]).T)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
+    return p
+
+
+def _conv(sd, prefix):
+    p = {"kernel": jnp.asarray(_np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
+    return p
+
+
+def _conv_transpose(sd, prefix):
+    w = _np(sd[f"{prefix}.weight"])  # (in, out, kh, kw)
+    p = {
+        "kernel": jnp.asarray(
+            np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+        )
+    }
+    if f"{prefix}.bias" in sd:
+        p["bias"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
+    return p
+
+
+def convert_generator(sd: Dict) -> Dict:
+    """torch `_netG_*` state_dict -> DeconvGenerator params.
+
+    The reference stacks are Sequential with ConvTranspose2d at even indices
+    (`diffusion_net.py:20-203`)."""
+    idxs = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith("gen.") and "weight" in k}
+    )
+    params = {}
+    for i, idx in enumerate(idxs):
+        params[f"ConvTranspose_{i}"] = _conv_transpose(sd, f"gen.{idx}")
+    return {"params": params}
+
+
+def convert_ebm(sd: Dict) -> Dict:
+    """torch `_netE` -> LatentEBM params (`diffusion_net.py:207-223`)."""
+    idxs = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith("ebm.") and "weight" in k}
+    )
+    return {
+        "params": {
+            f"Dense_{i}": _dense(sd, f"ebm.{idx}") for i, idx in enumerate(idxs)
+        }
+    }
+
+
+def convert_conv_encoder(sd: Dict, prefix: str = "net") -> Dict:
+    """torch `Encoder_*` -> ConvEncoder params (`diffusion_net.py:227-413`).
+
+    Sequential layout: Conv2d / InstanceNorm2d / LeakyReLU triplets with a
+    final Conv2d."""
+    conv_idxs, norm_idxs = [], []
+    for k in sd:
+        if not k.startswith(prefix + "."):
+            continue
+        idx = int(k[len(prefix) + 1 :].split(".")[0])
+        if k.endswith(".weight"):
+            shape = _np(sd[k]).shape
+            (conv_idxs if len(shape) == 4 else norm_idxs).append(idx)
+    params = {}
+    for i, idx in enumerate(sorted(set(conv_idxs))):
+        params[f"Conv_{i}"] = _conv(sd, f"{prefix}.{idx}")
+    for i, idx in enumerate(sorted(set(norm_idxs))):
+        params[f"GroupNorm_{i}"] = {
+            "scale": jnp.asarray(_np(sd[f"{prefix}.{idx}.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{prefix}.{idx}.bias"])),
+        }
+    return {"params": params}
+
+
+def _csl(sd, prefix):
+    """torch ConcatSquashLinearSkipCtx -> ConcatSquashLinear params
+    (`diffusion_net.py:417-445`)."""
+    return {
+        "ctx_kernel": jnp.asarray(_np(sd[f"{prefix}._layer_ctx.1.weight"]).T),
+        "ctx_bias": jnp.asarray(_np(sd[f"{prefix}._layer_ctx.1.bias"])),
+        "_gate": _dense(sd, f"{prefix}._hyper_gate"),
+        "_hyper_bias": _dense(sd, f"{prefix}._hyper_bias"),
+        "_lin": _dense(sd, f"{prefix}._layer.0"),
+        "_skip": _dense(sd, f"{prefix}._skip"),
+    }
+
+
+def convert_denoiser(sd: Dict, prefix: str = "") -> Dict[str, Dict]:
+    """torch `Diffusion_UnetA` -> LatentDenoiser params
+    (`diffusion_net.py:463-533`). Returns the bare param dict (no 'params'
+    wrapper) so it can nest inside the amortizer tree."""
+    pre = prefix + "." if prefix else ""
+    p = {
+        "fourier_b": jnp.asarray(_np(sd[f"{pre}B"])),
+        "time_d1": _dense(sd, f"{pre}time_mlp.1"),
+        "time_d2": _dense(sd, f"{pre}time_mlp.3"),
+    }
+    for group, count in (("in_layers", 3), ("mid_layers", 1), ("out_layers", 3)):
+        for i in range(count):
+            p[f"{group}_{i}"] = _csl(sd, f"{pre}{group}.{i}")
+    return p
+
+
+def convert_amortizer(sd: Dict, dataset: str = "cifar10") -> Dict:
+    """torch `_netQ_U` -> DAMCAmortizer params (`diffusion_net.py:537-645`).
+
+    Covers the conv-encoder datasets and 'toy' (MLP encoder); the StyleGAN
+    variant's encoder is external/frozen (`models/stylegan.py` converters).
+    The reference's unused legacy `xemb` parameter is dropped.
+    """
+    params: Dict = {"p": convert_denoiser(sd, "p")}
+    params["prior_emb"] = {
+        "Dense_0": _dense(sd, "prior_emb.0"),
+        "Dense_1": _dense(sd, "prior_emb.2"),
+    }
+    if dataset == "toy":
+        enc_idxs = sorted(
+            {int(k.split(".")[1]) for k in sd if k.startswith("encoder.") and k.endswith("weight")}
+        )
+        params["encoder"] = {
+            f"Dense_{i}": _dense(sd, f"encoder.{idx}") for i, idx in enumerate(enc_idxs)
+        }
+    elif dataset != "stylegan":
+        params["encoder"] = convert_conv_encoder(sd, "encoder.net")["params"]
+    return {"params": params}
+
+
+def convert_reference_checkpoint(path: str, dataset: str = "cifar10") -> Dict:
+    """Load a reference `.pth.tar` and convert every model it contains.
+
+    Returns {'params_g', 'params_e', 'params_q', 'params_q_ema'} (whichever
+    state dicts are present). Plug into `DAMCState.replace(...)` to resume.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+
+    def sd(name):
+        return {k: v for k, v in ckpt[name].items()}
+
+    out: Dict = {"iter": int(ckpt.get("iter", 0))}
+    if "G_state_dict" in ckpt:
+        out["params_g"] = convert_generator(sd("G_state_dict"))
+    if "E_state_dict" in ckpt:
+        out["params_e"] = convert_ebm(sd("E_state_dict"))
+    if "Q_state_dict" in ckpt:
+        out["params_q"] = convert_amortizer(sd("Q_state_dict"), dataset)
+    if "Q_dummy_state_dict" in ckpt:
+        out["params_q_ema"] = convert_amortizer(sd("Q_dummy_state_dict"), dataset)
+    return out
