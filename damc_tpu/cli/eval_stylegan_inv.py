@@ -14,7 +14,7 @@ import argparse
 import jax
 import numpy as np
 
-from ..data.datasets import load_image_folder
+from ..data.datasets import load_image_folder, load_lsun
 from ..metrics.fid import compute_stats
 from ..models.stylegan import load_stylegan
 from ..utils.config import preset
@@ -25,7 +25,16 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--dataset", type=str, default="ffhq", choices=["ffhq", "lsun_tower"])
-    p.add_argument("--data_path", type=str, required=True, help="folder of test images")
+    p.add_argument(
+        "--data_path", type=str, required=True,
+        help="folder of test images, or (lsun_tower) the LSUN root "
+        "containing tower_val_lmdb",
+    )
+    p.add_argument(
+        "--lsun_classes", type=str, default="tower_val",
+        help="comma-separated LSUN classes (reference eval uses tower_val, "
+        "eval_stylegan_inv.py:76-77)",
+    )
     p.add_argument("--pretrained_G_path", type=str, required=True)
     p.add_argument("--pretrained_E_path", type=str, required=True)
     p.add_argument("--pretrained_F_path", type=str, required=True, help="vgg16.pth")
@@ -56,7 +65,16 @@ def main(argv=None):
     else:
         print("[damc] WARNING: no --q_ckpt_dir given; using random Q init")
 
-    images = to_pm1(load_image_folder(args.data_path, 256, limit=args.limit))
+    import os.path as osp
+
+    if args.dataset == "lsun_tower" and osp.isdir(
+        osp.join(args.data_path, args.lsun_classes.split(",")[0] + "_lmdb")
+    ):
+        images = to_pm1(
+            load_lsun(args.data_path, args.lsun_classes.split(","), 256, limit=args.limit)
+        )
+    else:
+        images = to_pm1(load_image_folder(args.data_path, 256, limit=args.limit))
     feature_fn = make_feature_fn(cfg)
     unit = (images + 1.0) / 2.0
     real_mu, real_sigma = compute_stats(

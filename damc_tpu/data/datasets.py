@@ -13,8 +13,10 @@ NHWC float32 batches in [-1, 1] — the reference's
   scipy (`train_gen_recon.py:58-69` used torchvision for both).
 * ImageFolder walks a directory of images via PIL with center-crop+resize
   (CelebA-64/HQ, FFHQ; `train_gen_recon.py:70-107`).
-* LSUN's lmdb reader (`data/dataset.py:28-185`) is gated on the optional
-  `lmdb` module.
+* LSUN (`data/dataset.py:28-185`): lazy lmdb-backed `LSUNImages` /
+  `LSUNClassImages` (batch-indexable, streams through `Loader` without
+  materializing the database) + eager `load_lsun`. The lmdb env is
+  injectable so the reader is testable without the optional `lmdb` module.
 
 The reference's `__getitem__` swallowed exceptions and silently substituted
 sample 0 (`data/dataset.py:317-324`) — a documented bug we do NOT copy;
@@ -165,21 +167,185 @@ def load_image_folder_cached(
     return np.load(cache_path, mmap_mode="r")
 
 
-def load_lsun(root: str, classes, size: int = 256):
-    """LSUN lmdb reader (reference `data/dataset.py:28-185`); requires the
-    optional `lmdb` package."""
+# --------------------------------------------------------------------------
+# LSUN (lmdb-backed; D2)
+# --------------------------------------------------------------------------
+
+LSUN_CATEGORIES = (
+    "bedroom", "bridge", "church_outdoor", "classroom", "conference_room",
+    "dining_room", "kitchen", "living_room", "restaurant", "tower",
+)
+
+
+def _open_lmdb_env(path: str):
+    """Open an LSUN lmdb database read-only (reference `data/dataset.py:36`:
+    single reader, no lock/readahead/meminit — the access pattern is random
+    point reads of jpeg blobs)."""
     try:
-        import lmdb  # noqa: F401
+        import lmdb
     except ImportError as e:
         raise ImportError(
             "LSUN requires the `lmdb` package, which is not installed in "
-            "this environment; install it or convert the data to an image "
-            "folder and use load_image_folder()."
+            "this environment; install it, pass a compatible `env` object "
+            "to LSUNClassImages, or convert the data to an image folder and "
+            "use load_image_folder()."
         ) from e
-    raise NotImplementedError(
-        "lmdb available but LSUN reader not wired yet; convert to an image "
-        "folder and use load_image_folder()."
+    return lmdb.open(
+        path, max_readers=1, readonly=True, lock=False,
+        readahead=False, meminit=False,
     )
+
+
+def _decode_crop_resize(imgbuf: bytes, size: int) -> np.ndarray:
+    """jpeg bytes -> uint8 (size, size, 3): center-crop to the short side,
+    then antialiased resize (reference `data/dataset.py:47-64`)."""
+    import io
+
+    from PIL import Image
+
+    img = np.asarray(Image.open(io.BytesIO(imgbuf)).convert("RGB"))
+    crop = min(img.shape[:2])
+    top = (img.shape[0] - crop) // 2
+    left = (img.shape[1] - crop) // 2
+    img = img[top : top + crop, left : left + crop]
+    # Image.ANTIALIAS in the reference is the (now-removed) alias of LANCZOS.
+    return np.asarray(
+        Image.fromarray(img, "RGB").resize((size, size), Image.LANCZOS)
+    )
+
+
+class LSUNClassImages:
+    """One LSUN class database as a lazily-decoded, batch-indexable array.
+
+    Mirrors reference `LSUNClass` (`data/dataset.py:28-75`): lmdb point reads
+    by key, key list cached to a pickle (stored INSIDE the db directory as
+    `_keys_cache.pkl` — the reference writes `_cache_<letters>` into the CWD,
+    `data/dataset.py:38-44`, a working-directory pollution quirk not worth
+    copying), center-crop + resize decode per item.
+
+    Supports `len()` and fancy indexing with an int or an index array
+    (returning a uint8 (B, size, size, 3) batch), which is exactly the
+    surface `Loader`/the native loader need — so LSUN streams through the
+    same pipeline as every other dataset without materializing the ~100 GB
+    database in RAM.
+
+    `env` is injectable: anything with `begin()` returning a context manager
+    whose value has `.stat()["entries"]`, `.get(key)`, and
+    `.cursor().iternext(keys=True, values=False)` works (tests use a
+    filesystem-backed fake; production uses lmdb).
+    """
+
+    def __init__(self, root: str, size: int = 256, env=None, cache_keys: bool = True):
+        self.root = root
+        self.size = size
+        self.env = env if env is not None else _open_lmdb_env(root)
+        with self.env.begin() as txn:
+            self.length = int(txn.stat()["entries"])
+        cache_path = osp.join(root, "_keys_cache.pkl")
+        if cache_keys and osp.isfile(cache_path):
+            with open(cache_path, "rb") as fh:
+                self.keys = pickle.load(fh)
+        else:
+            with self.env.begin() as txn:
+                self.keys = list(txn.cursor().iternext(keys=True, values=False))
+            if cache_keys and osp.isdir(root):
+                with open(cache_path, "wb") as fh:
+                    pickle.dump(self.keys, fh)
+        if len(self.keys) != self.length:
+            raise ValueError(
+                f"stale key cache for {root}: {len(self.keys)} keys vs "
+                f"{self.length} entries; delete _keys_cache.pkl"
+            )
+
+    def __len__(self) -> int:
+        return self.length
+
+    def _get_one(self, index: int) -> np.ndarray:
+        with self.env.begin() as txn:
+            imgbuf = txn.get(self.keys[int(index)])
+        if imgbuf is None:
+            raise KeyError(f"missing lmdb key at index {index} in {self.root}")
+        return _decode_crop_resize(imgbuf, self.size)
+
+    def __getitem__(self, index):
+        if np.isscalar(index) or isinstance(index, (int, np.integer)):
+            return self._get_one(int(index))
+        index = np.asarray(index)
+        out = np.empty((len(index), self.size, self.size, 3), np.uint8)
+        for i, j in enumerate(index):
+            out[i] = self._get_one(int(j))
+        return out
+
+
+class LSUNImages:
+    """Multi-class LSUN view with cumulative indexing (reference `LSUN`,
+    `data/dataset.py:77-185`): class c lives at `<root>/<c>_lmdb`.
+
+    `classes` is a list like `['tower_train']` (the reference's
+    eval_stylegan_inv usage, `eval_stylegan_inv.py:75-77`) or 'train'/'val'/
+    'test' to expand over all ten categories. Same batch-indexable surface
+    as `LSUNClassImages`.
+    """
+
+    def __init__(self, root: str, classes="train", size: int = 256, envs=None):
+        self.classes = self._expand_classes(classes)
+        self.dbs = [
+            LSUNClassImages(
+                osp.join(root, f"{c}_lmdb"),
+                size=size,
+                env=None if envs is None else envs[i],
+            )
+            for i, c in enumerate(self.classes)
+        ]
+        self.cum = np.cumsum([len(db) for db in self.dbs])
+        self.size = size
+
+    @staticmethod
+    def _expand_classes(classes):
+        if isinstance(classes, str):
+            if classes == "test":
+                return ["test"]
+            if classes in ("train", "val"):
+                return [f"{c}_{classes}" for c in LSUN_CATEGORIES]
+            classes = [classes]
+        classes = list(classes)
+        for c in classes:
+            cat, _, split = c.rpartition("_")
+            if c != "test" and (cat not in LSUN_CATEGORIES or split not in ("train", "val")):
+                raise ValueError(
+                    f"unknown LSUN class {c!r}; valid: <category>_<train|val> "
+                    f"with category in {LSUN_CATEGORIES} or 'test'"
+                )
+        return classes
+
+    def __len__(self) -> int:
+        return int(self.cum[-1]) if len(self.dbs) else 0
+
+    def _get_one(self, index: int) -> np.ndarray:
+        db_i = int(np.searchsorted(self.cum, index, side="right"))
+        base = 0 if db_i == 0 else int(self.cum[db_i - 1])
+        return self.dbs[db_i][index - base]
+
+    def __getitem__(self, index):
+        if np.isscalar(index) or isinstance(index, (int, np.integer)):
+            return self._get_one(int(index))
+        index = np.asarray(index)
+        out = np.empty((len(index), self.size, self.size, 3), np.uint8)
+        for i, j in enumerate(index):
+            out[i] = self._get_one(int(j))
+        return out
+
+
+def load_lsun(root: str, classes, size: int = 256, limit: Optional[int] = None) -> np.ndarray:
+    """Eagerly decode LSUN into a uint8 (N, size, size, 3) array.
+
+    For training-scale use prefer `LSUNImages` directly with `Loader` (lazy
+    per-batch decode); this eager form mirrors the other `load_*` helpers
+    for small evals. Requires `lmdb` (reference `data/dataset.py:28-185`).
+    """
+    view = LSUNImages(root, classes, size=size)
+    n = len(view) if limit is None else min(limit, len(view))
+    return view[np.arange(n)]
 
 
 # --------------------------------------------------------------------------
