@@ -167,8 +167,12 @@ def load_dataset(cfg: Config) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def make_feature_fn(cfg: Config):
-    """InceptionV3 features when weights are available, else the random-conv
-    fallback (clearly labeled)."""
+    """Returns (feature_fn, metric_name).
+
+    metric_name is 'fid' only when the real InceptionV3 weights are on disk;
+    otherwise the random-projection fallback is used and the metric is named
+    'frechet_rand' so its numbers are never presented as FID (they are NOT
+    comparable to published FID values)."""
     import jax
 
     from ..metrics.fid import make_random_feature_fn
@@ -176,12 +180,16 @@ def make_feature_fn(cfg: Config):
 
     fn = try_load_inception_feature_fn()
     if fn is not None:
-        return fn
+        return fn, "fid"
     print(
         "[damc] WARNING: InceptionV3 weights unavailable — using the "
-        "random-feature Frechet metric (NOT comparable to published FID)."
+        "random-feature Frechet metric, reported as 'frechet_rand' "
+        "(NOT comparable to published FID)."
     )
-    return make_random_feature_fn(
-        jax.random.PRNGKey(0),
-        (cfg.model.image_size, cfg.model.image_size, cfg.model.nc),
+    return (
+        make_random_feature_fn(
+            jax.random.PRNGKey(0),
+            (cfg.model.image_size, cfg.model.image_size, cfg.model.nc),
+        ),
+        "frechet_rand",
     )

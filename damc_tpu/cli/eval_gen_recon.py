@@ -33,7 +33,7 @@ def main(argv=None):
         )
 
     train_images, fid_images, mse_images = load_dataset(cfg)
-    feature_fn = make_feature_fn(cfg)
+    feature_fn, metric_name = make_feature_fn(cfg)
 
     from ..metrics.fid import compute_stats
     from ..train.gen_recon import evaluate_fid, evaluate_mse
@@ -49,19 +49,23 @@ def main(argv=None):
         feature_fn, (unit[i : i + 256] for i in range(0, len(unit), 256))
     )
     key = jax.random.PRNGKey(cfg.train.seed)
+    # FID generation batch: 500 per the reference protocol (`MCMC.py:130,152`).
+    fid_bs = min(cfg.train.fid_batch_size, max(cfg.train.n_fid_samples, 1))
     fid_damc = evaluate_fid(
         key, state, models, cfg, feature_fn, real_mu, real_sigma,
-        cfg.train.n_fid_samples, cfg.train.batch_size, prior="damc",
+        cfg.train.n_fid_samples, fid_bs, prior="damc",
     )
     fid_ebm = evaluate_fid(
         jax.random.fold_in(key, 1), state, models, cfg, feature_fn, real_mu,
-        real_sigma, cfg.train.n_fid_samples, cfg.train.batch_size, prior="ebm",
+        real_sigma, cfg.train.n_fid_samples, fid_bs, prior="ebm",
     )
     mse = evaluate_mse(
-        jax.random.fold_in(key, 2), state, models, cfg, mse_images, 500
+        jax.random.fold_in(key, 2), state, models, cfg, mse_images,
+        cfg.train.fid_batch_size,  # mset loader bs=500, eval_gen_recon.py:110
     )
-    print(f"[damc] FID (DAMC prior): {fid_damc:.3f}")
-    print(f"[damc] FID (EBM prior):  {fid_ebm:.3f}")
+    label = "FID" if metric_name == "fid" else metric_name
+    print(f"[damc] {label} (DAMC prior): {fid_damc:.3f}")
+    print(f"[damc] {label} (EBM prior):  {fid_ebm:.3f}")
     print(f"[damc] recon MSE:        {mse:.5f}")
 
 

@@ -75,7 +75,7 @@ def main(argv=None):
         )
     else:
         images = to_pm1(load_image_folder(args.data_path, 256, limit=args.limit))
-    feature_fn = make_feature_fn(cfg)
+    feature_fn, metric_name = make_feature_fn(cfg)
     unit = (images + 1.0) / 2.0
     real_mu, real_sigma = compute_stats(
         feature_fn, (unit[i : i + 64] for i in range(0, len(unit), 64))
@@ -93,8 +93,13 @@ def main(argv=None):
         feature_fn=feature_fn,
         real_mu=real_mu,
         real_sigma=real_sigma,
+        fid_metric_name=metric_name,
     )
-    print(f"[damc] recon MSE {out['recon_mse']:.5f} FID {out.get('fid', float('nan')):.3f}")
+    label = "FID" if metric_name == "fid" else metric_name
+    print(
+        f"[damc] recon MSE {out['recon_mse']:.5f} "
+        f"{label} {out.get(metric_name, float('nan')):.3f}"
+    )
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ def main(argv=None):
     log_dir = make_log_dir(cfg)
     print(f"[damc] logging to {log_dir}")
     train_images, fid_images, mse_images = load_dataset(cfg)
-    feature_fn = make_feature_fn(cfg)
+    feature_fn, metric_name = make_feature_fn(cfg)
 
     from ..train.gen_recon import train_gen_recon
 
@@ -41,6 +41,7 @@ def main(argv=None):
         feature_fn=feature_fn,
         log_dir=log_dir,
         use_mesh=args.use_mesh,
+        fid_metric_name=metric_name,
     )
 
 

@@ -101,6 +101,7 @@ def train_gen_recon(
     log_dir: Optional[str] = None,
     use_mesh: bool = False,
     seed: Optional[int] = None,
+    fid_metric_name: str = "fid",
 ) -> DAMCState:
     """Full training run; returns the final state."""
     tc = cfg.train
@@ -160,9 +161,15 @@ def train_gen_recon(
 
     fid_best = mse_best = float("inf")
     timer = StepTimer()
-    # Eval programs compiled ONCE (state passed as an argument).
-    fid_damc_fn = make_fid_batch_fn(models, cfg, tc.batch_size, "damc", mesh)
-    fid_ebm_fn = make_fid_batch_fn(models, cfg, tc.batch_size, "ebm", mesh)
+    # Eval programs compiled ONCE (state passed as an argument). FID batches
+    # use the reference's bs=500 protocol (`MCMC.py:130,152`), capped by the
+    # sample budget for tiny smoke configs.
+    fid_bs = min(tc.fid_batch_size, max(tc.n_fid_samples, 1))
+    if mesh is not None:  # generated batches shard over the data axis
+        n_data = mesh.shape["data"]
+        fid_bs = max(fid_bs - fid_bs % n_data, n_data)
+    fid_damc_fn = make_fid_batch_fn(models, cfg, fid_bs, "damc", mesh)
+    fid_ebm_fn = make_fid_batch_fn(models, cfg, fid_bs, "ebm", mesh)
     recon_fn = make_recon_fn(models, cfg)
     for it in range(start_iter, iterations):
         with timer.phase("data"):
@@ -214,15 +221,16 @@ def train_gen_recon(
 
         if it % tc.eval_every == 0 and feature_fn is not None and real_mu is not None:
             eval_metrics: Dict[str, float] = {}
-            eval_metrics["fid_damc"] = evaluate_fid(
+            name = fid_metric_name
+            eval_metrics[f"{name}_damc"] = evaluate_fid(
                 jax.random.fold_in(k_eval, 2 * it),
                 state, models, cfg, feature_fn, real_mu, real_sigma,
-                tc.n_fid_samples, tc.batch_size, prior="damc", mesh=mesh, batch_fn=fid_damc_fn,
+                tc.n_fid_samples, fid_bs, prior="damc", mesh=mesh, batch_fn=fid_damc_fn,
             )
-            eval_metrics["fid_ebm"] = evaluate_fid(
+            eval_metrics[f"{name}_ebm"] = evaluate_fid(
                 jax.random.fold_in(k_eval, 2 * it + 1),
                 state, models, cfg, feature_fn, real_mu, real_sigma,
-                tc.n_fid_samples, tc.batch_size, prior="ebm", mesh=mesh, batch_fn=fid_ebm_fn,
+                tc.n_fid_samples, fid_bs, prior="ebm", mesh=mesh, batch_fn=fid_ebm_fn,
             )
             if mse_images is not None:
                 eval_metrics["recon_mse"] = evaluate_mse(
@@ -231,11 +239,11 @@ def train_gen_recon(
                     recon_fn=recon_fn,
                 )
                 mse_best = min(mse_best, eval_metrics["recon_mse"])
-            if eval_metrics["fid_damc"] < fid_best:
-                fid_best = eval_metrics["fid_damc"]
+            if eval_metrics[f"{name}_damc"] < fid_best:
+                fid_best = eval_metrics[f"{name}_damc"]
                 if ckpt_dir:
                     save_checkpoint(ckpt_dir, "best", state)
-            eval_metrics["fid_best"] = fid_best
+            eval_metrics[f"{name}_best"] = fid_best
             logger.log(it, eval_metrics, prefix="eval")
 
     return state

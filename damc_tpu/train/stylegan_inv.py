@@ -174,6 +174,7 @@ def evaluate_inversion(
     feature_fn=None,
     real_mu=None,
     real_sigma=None,
+    fid_metric_name: str = "fid",
 ) -> Dict[str, float]:
     """Test-set sweep: recon MSE (sum of per-image means / N) + optional FID
     of reconstructions (`eval_stylegan_inv.py:120-152`)."""
@@ -197,5 +198,7 @@ def evaluate_inversion(
     if feature_fn is not None and real_mu is not None:
         from ..metrics.fid import fid_from_samples
 
-        out["fid"] = fid_from_samples(feature_fn, recons, real_mu, real_sigma)
+        out[fid_metric_name] = fid_from_samples(
+            feature_fn, recons, real_mu, real_sigma
+        )
     return out

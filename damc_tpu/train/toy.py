@@ -64,26 +64,15 @@ def train_toy(
     return state, models, cfg
 
 
-def eval_toy_parity(
-    state: DAMCState,
-    models: ModelBundle,
-    cfg: Config,
-    seed: int = 1,
-    n_batches: int = 10,
-    batch: int = 500,
-    gt_steps: int = 1000,
-) -> Dict[str, float]:
-    """Compare the amortized posterior against long-run Langevin ground truth.
+def make_toy_parity_fn(models: ModelBundle, cfg: Config, gt_steps: int = 1000):
+    """Compiled fn(state, key, z_data) -> (zq, zl, loss_q, loss_l).
 
-    Mirrors `toy_example.py:251-302`: n_batches x batch fresh pinwheel/x
-    draws; Q(x) vs `gt_steps`-step Langevin from N(0, I); returns the recon
-    losses (g_loss Q / g_loss L, the reference's printed quality signal) plus
-    MMD^2 between the two posterior sample clouds, and the raw samples.
-    """
+    `state` is an argument (not a closure) so one compiled program serves
+    every periodic viz eval of a training run."""
     mc = cfg.mcmc
 
     @jax.jit
-    def eval_batch(key, z_data):
+    def eval_batch(state, key, z_data):
         k_x, k_q, k_gt_init, k_gt = jax.random.split(key, 4)
         x = make_observations(k_x, models, state.params_g, z_data)
         zq = sample_q(state.params_q, models.amortizer, k_q, x=x)
@@ -104,12 +93,36 @@ def eval_toy_parity(
         loss_l = jnp.sum((gen_fn(zl) - x) ** 2)
         return zq, zl, loss_q, loss_l
 
+    return eval_batch
+
+
+def eval_toy_parity(
+    state: DAMCState,
+    models: ModelBundle,
+    cfg: Config,
+    seed: int = 1,
+    n_batches: int = 10,
+    batch: int = 500,
+    gt_steps: int = 1000,
+    eval_fn=None,
+) -> Dict[str, float]:
+    """Compare the amortized posterior against long-run Langevin ground truth.
+
+    Mirrors `toy_example.py:251-302`: n_batches x batch fresh pinwheel/x
+    draws; Q(x) vs `gt_steps`-step Langevin from N(0, I); returns the recon
+    losses (g_loss Q / g_loss L, the reference's printed quality signal) plus
+    MMD^2 between the two posterior sample clouds, and the raw samples.
+    Pass `eval_fn` from `make_toy_parity_fn` to reuse one compiled program
+    across periodic calls.
+    """
+    eval_batch = eval_fn or make_toy_parity_fn(models, cfg, gt_steps)
+
     zq_all, zl_all = [], []
     loss_q_sum = loss_l_sum = 0.0
     for i in range(n_batches):
         z_data = jnp.asarray(sample_pinwheel(batch, seed + 7919 + i))
         key = jax.random.fold_in(jax.random.PRNGKey(seed), 10_000 + i)
-        zq, zl, lq, ll = eval_batch(key, z_data)
+        zq, zl, lq, ll = eval_batch(state, key, z_data)
         zq_all.append(np.asarray(zq))
         zl_all.append(np.asarray(zl))
         loss_q_sum += float(lq)

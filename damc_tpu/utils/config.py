@@ -78,6 +78,9 @@ class TrainConfig:
     batch_size: int = 128
     iterations: int = 1_000_000
     n_fid_samples: int = 50_000
+    # FID sample-generation batch (reference `MCMC.py:130,152`: bs=500; the
+    # mse eval loader also uses 500, `eval_gen_recon.py:110`).
+    fid_batch_size: int = 500
     q_updates: int = 6  # inner Q updates per iteration
     ema_rho: float = 0.005  # Q -> Q_ema mixing (0.75 for toy)
     ema_every: int = 10
