@@ -83,7 +83,8 @@ def _kernel(
     with_noise: bool,
 ):
     if with_noise:  # static; PRNG untouched on noiseless chains
-        pltpu.prng_seed(seed_ref[0])
+        # Independent stream per chain-block (grid over the batch axis).
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     k1 = k1_ref[:]
     b1 = b1_ref[:]
     k2 = k2_ref[:]
@@ -148,29 +149,43 @@ def fused_prior_langevin(
     kernel = functools.partial(
         _kernel, steps=steps, step_size=float(step_size), with_noise=with_noise
     )
-    flops_per_step = 2 * z.shape[0] * (
-        z.shape[1] * k1.shape[1] * 2 + k1.shape[1] * k1.shape[1]
-    )
-    return pl.pallas_call(
+
+    # Tile the chain (batch) axis so arbitrarily many chains fit: each grid
+    # step keeps one (block_b, nz) tile + weights + activations VMEM-resident
+    # for the whole K-step chain. 1024 rows of nz=128/ndf=200 is ~6 MB of
+    # scoped VMEM, comfortably under the 16 MB limit (4096 rows OOMs).
+    b, nz = z.shape
+    block_b = min(b, 1024)
+    n_blocks = -(-b // block_b)
+    b_pad = n_blocks * block_b
+    z32 = z.astype(jnp.float32)
+    if b_pad != b:
+        z32 = jnp.pad(z32, ((0, b_pad - b), (0, 0)))
+
+    flops_per_step = 2 * b_pad * (nz * k1.shape[1] * 2 + k1.shape[1] * k1.shape[1])
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # replicated
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(z.shape, jnp.float32),
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((b_pad, nz), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nz), lambda i: (i, 0)),
+            rep(k1.shape),
+            rep((1, b1.shape[1])),
+            rep(k2.shape),
+            rep((1, b2.shape[1])),
+            rep((1, k3.shape[1])),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_b, nz), lambda i: (i, 0)),
         cost_estimate=pl.CostEstimate(
             flops=steps * flops_per_step,
-            bytes_accessed=z.size * 4 * 2 + k1.size * 4 + k2.size * 4,
-            transcendentals=steps * z.size * 2 if with_noise else 0,
+            bytes_accessed=b_pad * nz * 4 * 2 + k1.size * 4 + k2.size * 4,
+            transcendentals=steps * b_pad * nz * 2 if with_noise else 0,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, z.astype(jnp.float32), k1.astype(jnp.float32), b1, k2.astype(jnp.float32), b2, k3)
+    )(seed, z32, k1.astype(jnp.float32), b1, k2.astype(jnp.float32), b2, k3)
+    return out[:b]
 
 
 def ebm_params_to_dense_weights(params) -> Tuple[jax.Array, ...]:

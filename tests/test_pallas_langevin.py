@@ -45,6 +45,27 @@ def test_noiseless_matches_lax_scan(setup):
 
 
 @pytest.mark.slow
+def test_tiled_large_batch_matches_scan(setup):
+    """Batches beyond one VMEM tile (block_b=1024) run as a chain-block grid;
+    a non-divisible batch exercises the padding path too."""
+    ebm, params, _ = setup
+    steps, eps = 3, 0.3
+    z = jax.random.normal(jax.random.PRNGKey(3), (1024 + 37, 8))
+
+    ref_energy = prior_energy(lambda zz: ebm.apply(jax.lax.stop_gradient(params), zz))
+    z_ref, _ = langevin_sample(
+        jax.random.PRNGKey(2), z, ref_energy, steps, eps, with_noise=False
+    )
+    weights = ebm_params_to_dense_weights(params)
+    z_pallas = fused_prior_langevin(
+        z, *weights, seed=jnp.int32(0), steps=steps, step_size=eps,
+        with_noise=False, interpret=True,
+    )
+    assert z_pallas.shape == z.shape
+    np.testing.assert_allclose(np.asarray(z_pallas), np.asarray(z_ref), atol=1e-5)
+
+
+@pytest.mark.slow
 def test_noisy_path_compiles_in_interpret_mode(setup):
     """The interpret-mode simulator stubs the on-core PRNG (bits == 0), so
     only compile/shape/finiteness is checked here; the stationary-variance

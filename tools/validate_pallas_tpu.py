@@ -66,6 +66,32 @@ def main():
     )
     print(f"one-step noise mean {float(n.mean()):.4f} std {float(n.std()):.4f}")
 
+    # 3b. Tiled chain-block grid (B > 1024): noiseless parity + noise stats.
+    z_big = jax.random.normal(jax.random.PRNGKey(11), (4096 + 37, 128))
+    zb_ref, _ = langevin_sample(
+        jax.random.PRNGKey(12), z_big, energy, 10, 0.3, False
+    )
+    zb_pal = fused_prior_langevin(
+        z_big, *weights, seed=jnp.int32(0), steps=10, step_size=0.3,
+        with_noise=False,
+    )
+    err = float(jnp.max(jnp.abs(zb_pal - zb_ref)))
+    print(f"tiled (4133 chains) noiseless parity max err: {err:.2e}")
+    assert err < 1e-3
+    zs_big = fused_prior_langevin(
+        jnp.zeros((8192, 128)), *zeroed, seed=jnp.int32(13),
+        steps=500, step_size=eps, with_noise=True,
+    )
+    var_b = float(jnp.var(zs_big))
+    # Cross-block independence: correlation between block 0 and block 1 rows.
+    a0 = np.asarray(zs_big[:1024]).ravel()
+    a1 = np.asarray(zs_big[1024:2048]).ravel()
+    corr = float(np.corrcoef(a0, a1)[0, 1])
+    print(f"tiled ULA var {var_b:.4f} (expected {expected:.4f}), "
+          f"block0/block1 corr {corr:+.4f}")
+    assert abs(var_b - expected) / expected < 0.05
+    assert abs(corr) < 0.05
+
     # 4. Throughput vs lax.scan.
     STEPS, N = 600, 30
 
