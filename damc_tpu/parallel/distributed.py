@@ -29,20 +29,34 @@ def initialize_distributed(
     (`jax.distributed.initialize()` with no args); pass them explicitly for
     manual setups.
     """
-    if jax.process_count() > 1:
+    # NOTE: do NOT probe jax.process_count()/jax.devices() here — any backend
+    # query initializes XLA, after which jax.distributed.initialize refuses
+    # to run. Check the distributed client state directly instead.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
+    explicit = coordinator_address is not None or num_processes is not None
     try:
-        if coordinator_address is None and num_processes is None:
-            jax.distributed.initialize()
-        else:
+        if explicit:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
                 process_id=process_id,
             )
-    except (ValueError, RuntimeError):
-        # Single-process environment (no coordinator configured): fine.
-        pass
+        else:
+            jax.distributed.initialize()
+    except (ValueError, RuntimeError) as e:
+        if explicit:
+            # An explicitly requested pod setup that fails is a real
+            # misconfiguration — do not mask it as "single process".
+            raise
+        import logging
+
+        logging.getLogger(__name__).info(
+            "jax.distributed not initialized (single-process environment "
+            "assumed): %s", e,
+        )
 
 
 def global_mesh(n_model: int = 1) -> Mesh:

@@ -1,0 +1,111 @@
+"""Multi-host (DCN) layer tests: a REAL 2-process jax.distributed run on CPU.
+
+Two subprocesses initialize through `initialize_distributed`, build the
+global (data, model) mesh spanning both processes, assemble a global batch
+from per-host shards with `make_global_batch`, and reduce it with a
+replicated-output jit (an XLA psum across processes). The parent asserts
+both workers observed the full cross-host sum.
+
+(The reference has no distributed layer at all — SURVEY.md §2.6; the spec
+here is our own greenfield contract.)
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from damc_tpu.parallel.distributed import (
+    global_mesh, initialize_distributed, make_global_batch,
+)
+
+initialize_distributed(coordinator_address=coord, num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc, jax.process_count()
+
+mesh = global_mesh()
+assert mesh.devices.size == nproc  # 1 CPU device per process
+
+local = np.full((2, 3), float(pid + 1), np.float32)  # host 0 -> 1s, host 1 -> 2s
+arr = make_global_batch(mesh, local)
+assert arr.shape == (2 * nproc, 3), arr.shape
+
+total = jax.jit(
+    jnp.sum, out_shardings=NamedSharding(mesh, P())
+)(arr)  # cross-host reduction: every process sees the global sum
+val = float(total)
+expected = 2 * 3 * 1.0 + 2 * 3 * 2.0
+assert abs(val - expected) < 1e-6, val
+print("WORKER_OK", pid, val, flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_psum():
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # 1 local CPU device per process
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER.format(repo=REPO), str(i), "2", coord],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER_OK {i} 18.0" in out, out
+
+
+def test_explicit_bad_coordinator_raises():
+    """An explicitly requested pod setup that cannot initialize must raise,
+    not be silently treated as single-process."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "from damc_tpu.parallel.distributed import initialize_distributed\n"
+        "try:\n"
+        "    initialize_distributed(coordinator_address='127.0.0.1:1',\n"
+        "                           num_processes=2, process_id=5)\n"
+        "except Exception as e:\n"
+        "    print('RAISED', type(e).__name__, flush=True)\n"
+        "else:\n"
+        "    print('SWALLOWED', flush=True)\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=120,
+    )
+    assert "RAISED" in out.stdout, out.stdout + out.stderr
+
+
+def test_initialize_noop_single_process():
+    """Auto-detect path in a single-process env: logs and continues."""
+    from damc_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()  # must not raise
