@@ -386,8 +386,12 @@ def try_load_inception_feature_fn(
     except FileNotFoundError:
         return None
 
-    @jax.jit
+    # Params as jit ARGUMENT: captured arrays become program literals
+    # (24M weights -> ~100 MB lowered program) and can overflow
+    # remote-compile transports; as arguments the program is tiny.
+    pool3 = jax.jit(inception_pool3)
+
     def feature_fn(x):
-        return inception_pool3(params, x)
+        return pool3(params, x)
 
     return feature_fn

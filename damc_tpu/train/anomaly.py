@@ -38,9 +38,11 @@ def evaluate_auprc(
     """Anomaly AUPRC sweep (`train_anomaly_det.py:206-248`): score =
     ||x_hat - x||^2 + E(z) + 0.5||z||^2 after Q init + noiseless Langevin;
     labels are 1 = anomalous."""
+    # State is an argument (closure captures embed params as program
+    # literals and force a retrace per eval — see stylegan_inv.py note).
     score_fn = jax.jit(
-        lambda k, x: sampling.anomaly_scores(
-            k, state, models, cfg, x, langevin_steps=langevin_steps
+        lambda st, k, x: sampling.anomaly_scores(
+            k, st, models, cfg, x, langevin_steps=langevin_steps
         )
     )
     scores, labels = [], []
@@ -51,10 +53,14 @@ def evaluate_auprc(
         if len(x) < batch:  # pad the tail to keep a single compiled shape
             pad = batch - len(x)
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
-            s = np.asarray(score_fn(jax.random.fold_in(key, i), jax.numpy.asarray(x)))
+            s = np.asarray(
+                score_fn(state, jax.random.fold_in(key, i), jax.numpy.asarray(x))
+            )
             s = s[: len(lbl)]
         else:
-            s = np.asarray(score_fn(jax.random.fold_in(key, i), jax.numpy.asarray(x)))
+            s = np.asarray(
+                score_fn(state, jax.random.fold_in(key, i), jax.numpy.asarray(x))
+            )
         scores.append(s)
         labels.append(lbl)
     return auprc(np.concatenate(scores), np.concatenate(labels))

@@ -171,6 +171,23 @@ def train_gen_recon(
     fid_damc_fn = make_fid_batch_fn(models, cfg, fid_bs, "damc", mesh)
     fid_ebm_fn = make_fid_batch_fn(models, cfg, fid_bs, "ebm", mesh)
     recon_fn = make_recon_fn(models, cfg)
+    # Plot-time programs, also compiled once with state as an argument
+    # (closing over state would embed all params as literals AND retrace
+    # every plot iteration).
+    plot_recon_fn = jax.jit(
+        lambda st, k, xb: sampling.reconstruct(
+            k, st, models, cfg, xb, langevin_steps=cfg.mcmc.g_l_steps
+        )
+    )
+    plot_q_fn = jax.jit(
+        lambda st, k, xb: sampling.sample_q(
+            st.params_q_ema, models.amortizer, k, x=xb
+        )
+    )
+    plot_prior_fn = jax.jit(
+        lambda st, k, nb: sampling.gen_samples_damc_prior(k, st, models, cfg, nb),
+        static_argnums=2,
+    )
     for it in range(start_iter, iterations):
         with timer.phase("data"):
             x_np, _ = next(stream)
@@ -199,22 +216,12 @@ def train_gen_recon(
             k_plot = jax.random.fold_in(k_eval, it)
             n_show = min(64, tc.batch_size)
             save_image_grid(np.asarray(x[:n_show]), f"{img_dir}/{it}_obs.png")
-            x_hat, _ = jax.jit(
-                lambda k, xb: sampling.reconstruct(
-                    k, state, models, cfg, xb, langevin_steps=cfg.mcmc.g_l_steps
-                )
-            )(k_plot, x[:n_show])
+            x_hat, _ = plot_recon_fn(state, k_plot, x[:n_show])
             save_image_grid(np.asarray(x_hat), f"{img_dir}/{it}_post.png")
-            zq = jax.jit(
-                lambda k, xb: sampling.sample_q(
-                    state.params_q_ema, models.amortizer, k, x=xb
-                )
-            )(jax.random.fold_in(k_plot, 1), x[:n_show])
+            zq = plot_q_fn(state, jax.random.fold_in(k_plot, 1), x[:n_show])
             x_hat_q = models.generator.apply(state.params_g, zq)
             save_image_grid(np.asarray(x_hat_q), f"{img_dir}/{it}_post_Q.png")
-            x_prior, _ = jax.jit(
-                lambda k: sampling.gen_samples_damc_prior(k, state, models, cfg, n_show)
-            )(jax.random.fold_in(k_plot, 2))
+            x_prior, _ = plot_prior_fn(state, jax.random.fold_in(k_plot, 2), n_show)
             save_image_grid(np.asarray(x_prior), f"{img_dir}/{it}_prior.png")
         if ckpt_dir and it > 0 and it % tc.ckpt_every == 0:
             save_checkpoint(ckpt_dir, str(it), state)

@@ -178,16 +178,20 @@ def evaluate_inversion(
 ) -> Dict[str, float]:
     """Test-set sweep: recon MSE (sum of per-image means / N) + optional FID
     of reconstructions (`eval_stylegan_inv.py:120-152`)."""
+    # Params are ARGUMENTS, not closure captures: captured arrays are
+    # embedded as literals in the lowered program (313M Q params + StyleGAN
+    # weights -> multi-GB MLIR, which overflows remote-compile transports);
+    # as arguments the program is ~100 KB and compiles once.
     run = jax.jit(
-        lambda k, xb: invert_batch(
-            k, q_params, q_model, stylegan_params, xb, steps, lr, resolution
+        lambda qp, sp, k, xb: invert_batch(
+            k, qp, q_model, sp, xb, steps, lr, resolution
         )
     )
     total_mse, n = 0.0, 0
     recons = []
     for i in range(0, len(images) - len(images) % batch, batch):
         xb = jnp.asarray(images[i : i + batch])
-        x_hat, z, _ = run(jax.random.fold_in(key, i), xb)
+        x_hat, z, _ = run(q_params, stylegan_params, jax.random.fold_in(key, i), xb)
         total_mse += float(
             jnp.sum(jnp.mean((x_hat - xb).reshape(batch, -1) ** 2, axis=-1))
         )
