@@ -172,6 +172,19 @@ def prior_langevin_auto(
     is_standard_mlp = set(p.keys()) == {"Dense_0", "Dense_1", "Dense_2"}
     on_tpu = jax.default_backend() not in ("cpu",)
 
+    if use_pallas and on_tpu and not is_standard_mlp:
+        # Key-set dispatch is deliberate (the kernel hand-codes the 2-hidden
+        # MLP backward) but silent fallback on TPU would hide a perf
+        # regression if the EBM is ever renamed/re-structured — say so once.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "prior_langevin_auto: EBM param tree %s is not the standard "
+            "2-hidden LatentEBM; falling back to the lax.scan path on TPU "
+            "(expected for the 3-hidden StyleGAN EBM, a perf bug otherwise).",
+            sorted(p.keys()),
+        )
+
     if use_pallas and is_standard_mlp and on_tpu:
         from .pallas.fused_langevin import (
             ebm_params_to_dense_weights,
