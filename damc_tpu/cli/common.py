@@ -67,6 +67,11 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--g_lr", type=float, default=None)
     p.add_argument("--e_lr", type=float, default=None)
     p.add_argument("--q_lr", type=float, default=None)
+    # intervals (reference: print/plot/ckpt/fid_iter, `train_gen_recon.py:399-404`)
+    p.add_argument("--print_every", type=int, default=None)
+    p.add_argument("--plot_every", type=int, default=None)
+    p.add_argument("--ckpt_every", type=int, default=None)
+    p.add_argument("--eval_every", type=int, default=None, help="fid/auprc eval interval")
     # misc
     p.add_argument("--label", type=int, default=None, help="anomaly held-out digit")
     p.add_argument("--use_mesh", action="store_true", help="data-parallel over all devices")
@@ -111,6 +116,10 @@ def config_from_args(args, preset_name: Optional[str] = None) -> Config:
         data_path=args.data_path,
         resume_path=args.resume_path,
         heldout_digit=args.label,
+        print_every=args.print_every,
+        plot_every=args.plot_every,
+        ckpt_every=args.ckpt_every,
+        eval_every=args.eval_every,
     )
     return cfg
 

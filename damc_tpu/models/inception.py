@@ -301,29 +301,33 @@ ARCH_SPEC = {
 }
 
 
-def init_random_params(key: jax.Array) -> Dict:
-    """Shape-correct random params (for tests / environments w/o weights)."""
+def init_random_params(key: jax.Array, seed: int = 0) -> Dict:
+    """Shape-correct random params (for tests / environments w/o weights).
 
-    def leaf(k, spec):
+    Host-side NumPy generation: per-leaf `jax.random.normal` calls would
+    compile one tiny XLA program per distinct shape (~90 shapes, ~30 s on
+    CPU); this is test plumbing, not model numerics. `key` is accepted for
+    signature compatibility; `seed` drives the NumPy stream.
+    """
+    del key
+    rng = np.random.RandomState(seed)
+
+    def leaf(spec):
         cin, cout, kh, kw = spec
         return {
-            "kernel": jax.random.normal(k, (kh, kw, cin, cout)) * 0.05,
+            "kernel": jnp.asarray(
+                rng.randn(kh, kw, cin, cout).astype(np.float32) * 0.05
+            ),
             "scale": jnp.ones((cout,)),
             "offset": jnp.zeros((cout,)),
         }
 
     params: Dict = {}
-    i = 0
     for name, spec in ARCH_SPEC.items():
         if isinstance(spec, tuple):
-            params[name] = leaf(jax.random.fold_in(key, i), spec)
-            i += 1
+            params[name] = leaf(spec)
         else:
-            params[name] = {
-                sub: leaf(jax.random.fold_in(key, i + j), s)
-                for j, (sub, s) in enumerate(spec.items())
-            }
-            i += len(spec)
+            params[name] = {sub: leaf(s) for sub, s in spec.items()}
     return params
 
 

@@ -125,9 +125,9 @@ def train_anomaly(
         )
         state, metrics = step(state, x)
 
-        if it % tc.print_every == 0:
+        if tc.print_every > 0 and it % tc.print_every == 0:
             logger.log(it, metrics)
-        if it % tc.eval_every == 0 and test_images is not None:
+        if tc.eval_every > 0 and it % tc.eval_every == 0 and test_images is not None:
             score = evaluate_auprc(
                 jax.random.fold_in(k_eval, it),
                 state, models, cfg, test_images, test_labels,

@@ -197,7 +197,7 @@ def train_gen_recon(
         with timer.phase("train_step"):
             state, metrics = step(state, x)
 
-        if it % tc.print_every == 0:
+        if tc.print_every > 0 and it % tc.print_every == 0:
             jax.block_until_ready(metrics)
             host_metrics = {k: float(v) for k, v in metrics.items()}
             # Failure detection (the reference trains blind; SURVEY.md §5):
@@ -210,7 +210,7 @@ def train_gen_recon(
                     f"last metrics: {host_metrics}"
                 )
             logger.log(it, {**host_metrics, **timer.report()})
-        if img_dir and it % tc.plot_every == 0:
+        if img_dir and tc.plot_every > 0 and it % tc.plot_every == 0:
             # Grid dumps mirroring `train_gen_recon.py:267-280`: observations,
             # posterior recon (Q init + Langevin), Q-only recon, prior samples.
             k_plot = jax.random.fold_in(k_eval, it)
@@ -223,10 +223,10 @@ def train_gen_recon(
             save_image_grid(np.asarray(x_hat_q), f"{img_dir}/{it}_post_Q.png")
             x_prior, _ = plot_prior_fn(state, jax.random.fold_in(k_plot, 2), n_show)
             save_image_grid(np.asarray(x_prior), f"{img_dir}/{it}_prior.png")
-        if ckpt_dir and it > 0 and it % tc.ckpt_every == 0:
+        if ckpt_dir and tc.ckpt_every > 0 and it > 0 and it % tc.ckpt_every == 0:
             save_checkpoint(ckpt_dir, str(it), state)
 
-        if it % tc.eval_every == 0 and feature_fn is not None and real_mu is not None:
+        if tc.eval_every > 0 and it % tc.eval_every == 0 and feature_fn is not None and real_mu is not None:
             eval_metrics: Dict[str, float] = {}
             name = fid_metric_name
             eval_metrics[f"{name}_damc"] = evaluate_fid(

@@ -22,7 +22,11 @@ def tiny_cfg():
     )
 
 
-def test_full_state_roundtrip(tmp_path):
+def test_full_state_roundtrip_and_exact_resume(tmp_path):
+    """One train-step compile serves both assertions: (a) EVERY leaf of the
+    state round-trips through Orbax (params G/E/Q, EMA, optimizer states,
+    rng — the reference loses E/E_opt/Q_dummy); (b) step(restore(save(s)))
+    equals step(s) exactly."""
     cfg = tiny_cfg()
     state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
     step = jax.jit(make_train_step(models, opts, cfg))
@@ -36,23 +40,10 @@ def test_full_state_roundtrip(tmp_path):
     restored = restore_checkpoint(str(tmp_path), "2", template)
 
     assert int(restored.step) == 2
-    # EVERY leaf must round-trip: params G/E/Q, EMA, all optimizer states, rng.
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-
-def test_resume_continues_identically(tmp_path):
-    """step(save(state)) must equal step(state) — exact resume."""
-    cfg = tiny_cfg()
-    state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
-    step = jax.jit(make_train_step(models, opts, cfg))
-    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3), minval=-1, maxval=1)
-    state, _ = step(state, x)
-
-    save_checkpoint(str(tmp_path), "ckpt", state)
-    template, _, _ = create_state(jax.random.PRNGKey(99), cfg)
-    restored = restore_checkpoint(str(tmp_path), "ckpt", template)
-
+    # Exact-resume continuity: same compiled step, identical next metrics.
     s_direct, m_direct = step(state, x)
     s_resumed, m_resumed = step(restored, x)
     np.testing.assert_array_equal(

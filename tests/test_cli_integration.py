@@ -26,8 +26,11 @@ def fake_cifar(root: str, n_train=40, n_test=16, seed=0):
     write("test_batch", n_test)
 
 
-@pytest.mark.slow
 def test_train_and_eval_cli_roundtrip(tmp_path, monkeypatch):
+    """The fast-tier end-to-end gate: train -> metrics/ckpt -> eval restore,
+    all through the real CLIs (kept in the default selection so the e2e path
+    cannot silently rot; --plot_every 0 skips the three plot-only programs
+    to hold CPU compile time down)."""
     from damc_tpu.cli import eval_gen_recon, train_gen_recon
 
     data_dir = str(tmp_path / "data")
@@ -43,7 +46,7 @@ def test_train_and_eval_cli_roundtrip(tmp_path, monkeypatch):
         "--n_interval", "2", "--g_l_steps", "2", "--e_l_steps", "2",
         "--batch_size", "8", "--n_fid_samples", "16",
     ]
-    train_gen_recon.main(common + ["--iterations", "3"])
+    train_gen_recon.main(common + ["--iterations", "3", "--plot_every", "0"])
 
     # one run dir with config provenance + ckpt/best from the eval gate
     runs = os.listdir(os.path.join(log_dir, "cifar10"))

@@ -10,6 +10,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from damc_tpu.ops import langevin_sample, prior_energy
@@ -38,6 +39,8 @@ def test_langevin_sharded_chains():
     assert np.all(np.isfinite(np.asarray(z_final)))
 
 
+@pytest.mark.slow  # same program shape as the driver's dryrun_multichip +
+# the (fast) toy DP-parity test below; kept for full conv-workload coverage
 def test_train_step_data_parallel():
     cfg = preset("svhn")
     cfg = dataclasses.replace(
