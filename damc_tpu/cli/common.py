@@ -46,6 +46,12 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--n_fid_samples", type=int, default=None)
     # architecture
+    p.add_argument(
+        "--compute_dtype", type=str, default=None,
+        choices=["float32", "bfloat16"],
+        help="conv-net compute dtype (bf16 is learning-parity validated; "
+        "schedule/Langevin math stays fp32)",
+    )
     p.add_argument("--nz", type=int, default=None)
     p.add_argument("--ngf", type=int, default=None)
     p.add_argument("--nif", type=int, default=None)
@@ -88,7 +94,10 @@ def config_from_args(args, preset_name: Optional[str] = None) -> Config:
                 cfg, **{section: dataclasses.replace(getattr(cfg, section), **kw)}
             )
 
-    over("model", nz=args.nz, ngf=args.ngf, nif=args.nif, nxemb=args.nxemb, ntemb=args.ntemb)
+    over(
+        "model", nz=args.nz, ngf=args.ngf, nif=args.nif, nxemb=args.nxemb,
+        ntemb=args.ntemb, compute_dtype=args.compute_dtype,
+    )
     over(
         "diffusion",
         n_interval=args.n_interval,

@@ -86,7 +86,7 @@ def main(argv=None):
         if args.viz_iter and it % args.viz_iter == 0:
             viz(it, state)
 
-    state, models_trained, cfg = train_toy(
+    state, _, cfg = train_toy(
         cfg, iterations=args.iterations, seed=args.seed, callback=callback
     )
     res = eval_toy_parity(
