@@ -191,3 +191,67 @@ def test_sample_w_codes_shape(torch_gen32):
     params = convert_generator_state_dict(torch_gen32.state_dict(), resolution=32)
     codes = sample_w_codes(params, jax.random.PRNGKey(0), b=2, resolution=32)
     assert codes.shape == (2, num_synthesis_layers(32) * 512)
+
+
+@pytest.mark.slow
+def test_generator_synthesis_parity_res256_full_size():
+    """Flagship-size parity: the COMPLETE res-256 synthesis stack (fused
+    upconv blocks at high resolutions, every per-res toRGB head, lod skip
+    wiring) vs the torch reference with shared random weights. Round-1
+    coverage stopped at res 32, which never exercises the fused path in
+    context."""
+    import torch
+
+    from stylegan.stylegan_generator_network import StyleGANGeneratorNet
+
+    torch.manual_seed(2)
+    net = StyleGANGeneratorNet(
+        resolution=256, repeat_w=False, final_tanh=True,
+        truncation_psi=0.7, truncation_layers=8, randomize_noise=False,
+    )
+    net.eval()
+    sd = net.state_dict()
+    g = torch.Generator().manual_seed(3)
+    for k, v in sd.items():
+        if "apply_noise.weight" in k or k == "truncation.w_avg":
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+    net.load_state_dict(sd)
+
+    params = convert_generator_state_dict(net.state_dict(), resolution=256)
+    n_layers = num_synthesis_layers(256)
+    wp_flat = np.random.RandomState(4).randn(1, n_layers * 512).astype(np.float32)
+
+    with torch.no_grad():
+        ref = net.synthesis(torch.from_numpy(wp_flat).view(1, n_layers, 512))
+    mine = generator_apply(params, jnp.asarray(wp_flat), resolution=256)
+    assert mine.shape == (1, 256, 256, 3)
+    np.testing.assert_allclose(np.asarray(mine), to_nhwc(ref), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_encoder_parity_res256_full_size():
+    """Full-size inversion encoder (image -> 7168-d W+) vs torch."""
+    import torch
+
+    from stylegan.stylegan_encoder_network import StyleGANEncoderNet
+
+    torch.manual_seed(5)
+    net = StyleGANEncoderNet(resolution=256, use_wscale=False, use_bn=True)
+    net.eval()
+    # Non-trivial BN statistics so folding is actually exercised.
+    sd = net.state_dict()
+    g = torch.Generator().manual_seed(6)
+    for k, v in sd.items():
+        if k.endswith("running_mean"):
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+        elif k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+    net.load_state_dict(sd)
+
+    params = convert_encoder_state_dict(net.state_dict(), resolution=256)
+    x = np.random.RandomState(7).uniform(-1, 1, (1, 3, 256, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).reshape(1, -1).numpy()
+    mine = encoder_apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)), resolution=256)
+    assert mine.shape == (1, 7168)
+    np.testing.assert_allclose(np.asarray(mine), ref, atol=3e-3, rtol=1e-3)
