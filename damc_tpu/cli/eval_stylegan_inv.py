@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--pretrained_F_path", type=str, required=True, help="vgg16.pth")
     p.add_argument("--q_ckpt_dir", type=str, default=None, help="orbax dir of trained Q")
     p.add_argument("--q_ckpt_name", type=str, default="best")
+    p.add_argument(
+        "--resolution", type=int, default=256,
+        help="StyleGAN resolution (published models are 256; smaller values "
+        "serve scaled-down checkpoints and tests)",
+    )
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--g_l_steps", type=int, default=100)
     p.add_argument("--g_l_step_size", type=float, default=0.01)
@@ -47,17 +52,24 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None, help="cap on test images")
     args = p.parse_args(argv)
 
+    res = args.resolution
     stylegan_params = load_stylegan(
         generator_path=args.pretrained_G_path,
         encoder_path=args.pretrained_E_path,
         vgg_path=args.pretrained_F_path,
+        resolution=res,
     )
 
     from ..train.stylegan_inv import evaluate_inversion, make_stylegan_amortizer
     from ..utils.checkpoint import restore_checkpoint
 
+    import dataclasses
+
     cfg = preset("celebaHQ")  # 256-res defaults for the diffusion settings
-    q_model = make_stylegan_amortizer(cfg)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, image_size=res)
+    )
+    q_model = make_stylegan_amortizer(cfg, resolution=res)
     xemb_dummy = np.zeros((1, q_model.nz), np.float32)
     q_params = q_model.init(jax.random.PRNGKey(0), xemb_dummy)
     if args.q_ckpt_dir:
@@ -71,10 +83,10 @@ def main(argv=None):
         osp.join(args.data_path, args.lsun_classes.split(",")[0] + "_lmdb")
     ):
         images = to_pm1(
-            load_lsun(args.data_path, args.lsun_classes.split(","), 256, limit=args.limit)
+            load_lsun(args.data_path, args.lsun_classes.split(","), res, limit=args.limit)
         )
     else:
-        images = to_pm1(load_image_folder(args.data_path, 256, limit=args.limit))
+        images = to_pm1(load_image_folder(args.data_path, res, limit=args.limit))
     feature_fn, metric_name = make_feature_fn(cfg)
     unit = (images + 1.0) / 2.0
     real_mu, real_sigma = compute_stats(
@@ -90,6 +102,7 @@ def main(argv=None):
         batch=args.batch_size,
         steps=args.g_l_steps,
         lr=args.g_l_step_size,
+        resolution=res,
         feature_fn=feature_fn,
         real_mu=real_mu,
         real_sigma=real_sigma,
