@@ -61,6 +61,78 @@ def compute_stats(
     return stats.finalize()
 
 
+def make_stats_accumulator(feature_fn: FeatureFn, mesh=None):
+    """Jitted device-side stats accumulator: carry = (n, sum, outer).
+
+    With a mesh, image batches are sharded over the `data` axis and the
+    carry is replicated — XLA inserts the cross-device (ICI) and cross-host
+    (DCN) reductions, which is the multi-host FID-statistics psum of
+    SURVEY.md §2.6 (the reference computes FID on one GPU only,
+    `MCMC.py:139`). Accumulation is fp32 on device; finalize on the host in
+    float64 (matching `RunningStats`).
+
+    Returns (init_fn(dim) -> carry, accumulate_fn(carry, batch) -> carry).
+    """
+    from functools import partial
+
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicated
+
+        jitted = partial(
+            jax.jit,
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=replicated(mesh),
+        )
+    else:
+        jitted = jax.jit
+
+    @jitted
+    def accumulate(carry, batch):
+        n, s, outer = carry
+        f = feature_fn(batch).astype(jnp.float32)
+        return (n + f.shape[0], s + f.sum(axis=0), outer + f.T @ f)
+
+    def init(dim: int):
+        return (
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((dim,), jnp.float32),
+            jnp.zeros((dim, dim), jnp.float32),
+        )
+
+    return init, accumulate
+
+
+def finalize_stats(carry) -> Tuple[np.ndarray, np.ndarray]:
+    """(n, sum, outer) -> (mu, unbiased sigma), float64 on host."""
+    n = int(carry[0])
+    assert n >= 2, "need at least 2 samples for covariance"
+    s = np.asarray(carry[1], np.float64)
+    outer = np.asarray(carry[2], np.float64)
+    mu = s / n
+    cov = (outer - n * np.outer(mu, mu)) / (n - 1)
+    return mu, cov
+
+
+def compute_stats_sharded(
+    feature_fn: FeatureFn,
+    batches: Iterable,
+    mesh,
+    dim: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mesh-parallel `compute_stats`: batches may be host arrays (device_put
+    sharded here) or already-sharded device arrays (e.g. straight from a
+    sharded generation program — no host round-trip)."""
+    from ..parallel import shard_batch
+
+    init, accumulate = make_stats_accumulator(feature_fn, mesh)
+    carry = init(dim)
+    for batch in batches:
+        if isinstance(batch, np.ndarray):
+            batch = shard_batch(mesh, batch)
+        carry = accumulate(carry, batch)
+    return finalize_stats(carry)
+
+
 def frechet_distance(
     mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray, eps: float = 1e-6
 ) -> float:

@@ -55,14 +55,28 @@ def evaluate_fid(
     prior, mesh=None, batch_fn=None,
 ):
     """FID via the DAMC prior (`calculate_fid_with_diffusion_prior`) or the
-    EBM-prior Langevin chain (`calculate_fid`), `MCMC.py:130-176`."""
+    EBM-prior Langevin chain (`calculate_fid`), `MCMC.py:130-176`.
+
+    With a mesh, generated batches stay on device (sharded over `data`) and
+    the feature statistics accumulate with XLA cross-device reductions —
+    no host round-trip of the 50k generated images."""
     one_batch = batch_fn or make_fid_batch_fn(models, cfg, batch, prior, mesh)
+    n_batches = max(n_samples // batch, 1)
 
     def batches():
-        for i in range(max(n_samples // batch, 1)):
-            yield np.asarray(one_batch(state, jax.random.fold_in(key, i)))
+        for i in range(n_batches):
+            yield one_batch(state, jax.random.fold_in(key, i))
 
-    return fid_from_samples(feature_fn, batches(), real_mu, real_sigma)
+    if mesh is not None:
+        from ..metrics.fid import compute_stats_sharded, frechet_distance
+
+        mu, sigma = compute_stats_sharded(
+            feature_fn, batches(), mesh, dim=int(np.shape(real_mu)[0])
+        )
+        return frechet_distance(mu, sigma, real_mu, real_sigma)
+    return fid_from_samples(
+        feature_fn, (np.asarray(b) for b in batches()), real_mu, real_sigma
+    )
 
 
 def make_recon_fn(models, cfg, langevin_steps: int = 10):

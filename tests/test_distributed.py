@@ -48,6 +48,24 @@ total = jax.jit(
 val = float(total)
 expected = 2 * 3 * 1.0 + 2 * 3 * 2.0
 assert abs(val - expected) < 1e-6, val
+
+# Multi-host FID statistics reduction (SURVEY §2.6): each host feeds its
+# LOCAL image shard; the replicated stats carry must equal single-host
+# stats over the concatenation of both shards (deterministic per pid).
+from damc_tpu.metrics.fid import (
+    compute_stats, compute_stats_sharded, make_random_feature_fn,
+)
+
+feat = make_random_feature_fn(jax.random.PRNGKey(0), (8, 8, 3), dim=16)
+local = np.random.RandomState(pid).rand(4, 8, 8, 3).astype(np.float32)
+global_imgs = make_global_batch(mesh, local)
+mu, sigma = compute_stats_sharded(feat, [global_imgs], mesh, dim=16)
+ref_all = np.concatenate(
+    [np.random.RandomState(i).rand(4, 8, 8, 3).astype(np.float32) for i in range(nproc)]
+)
+mu_ref, sigma_ref = compute_stats(feat, [ref_all])
+np.testing.assert_allclose(mu, mu_ref, rtol=1e-5, atol=1e-6)
+np.testing.assert_allclose(sigma, sigma_ref, rtol=1e-4, atol=1e-6)
 print("WORKER_OK", pid, val, flush=True)
 """
 

@@ -95,3 +95,34 @@ class TestMMD:
         x = jax.random.normal(k1, (400, 2))
         y = jax.random.normal(k2, (400, 2)) * 0.3 + 2.0
         assert float(mmd2_rbf(x, y)) > 0.1
+
+
+class TestShardedStats:
+    def test_sharded_stats_match_host_stats(self):
+        """Mesh-parallel feature statistics (SURVEY §2.6 multi-host FID
+        reduction) must equal the host-side RunningStats on identical data,
+        whether fed host arrays or already-sharded device arrays."""
+        import jax
+
+        from damc_tpu.metrics.fid import (
+            compute_stats,
+            compute_stats_sharded,
+            make_random_feature_fn,
+        )
+        from damc_tpu.parallel import make_mesh, shard_batch
+
+        feat = make_random_feature_fn(jax.random.PRNGKey(0), (8, 8, 3), dim=16)
+        rng = np.random.RandomState(0)
+        batches = [rng.rand(16, 8, 8, 3).astype(np.float32) for _ in range(3)]
+
+        mu_host, sig_host = compute_stats(feat, iter(batches))
+
+        mesh = make_mesh()
+        mu_s, sig_s = compute_stats_sharded(feat, iter(batches), mesh, dim=16)
+        np.testing.assert_allclose(mu_s, mu_host, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(sig_s, sig_host, rtol=1e-4, atol=1e-6)
+
+        device_batches = [shard_batch(mesh, b) for b in batches]
+        mu_d, sig_d = compute_stats_sharded(feat, iter(device_batches), mesh, dim=16)
+        np.testing.assert_allclose(mu_d, mu_host, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(sig_d, sig_host, rtol=1e-4, atol=1e-6)

@@ -100,3 +100,39 @@ def test_data_parallel_matches_single_device():
     for a, b in zip(jax.tree.leaves(s_single.params_q), jax.tree.leaves(s_dp.params_q)):
         # fp32 reduction-order differences across devices: allow tiny slack
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5)
+
+
+def test_evaluate_fid_sharded_matches_single_device():
+    """The meshed FID path (sharded generation -> device-side stats with XLA
+    cross-device reductions) must reproduce the host-side FID for the same
+    key and state."""
+    from damc_tpu.metrics.fid import make_random_feature_fn
+    from damc_tpu.train.gen_recon import evaluate_fid
+
+    cfg = preset("svhn")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, ngf=8, nif=8, nxemb=16, ntemb=16, nz=16),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=2),
+        mcmc=dataclasses.replace(cfg.mcmc, e_l_steps=2),
+    )
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    feat = make_random_feature_fn(jax.random.PRNGKey(1), (32, 32, 3), dim=16)
+    rng = np.random.RandomState(0)
+    real = rng.rand(64, 32, 32, 3).astype(np.float32)
+    from damc_tpu.metrics.fid import compute_stats
+
+    real_mu, real_sigma = compute_stats(feat, [real])
+
+    key = jax.random.PRNGKey(2)
+    fid_host = evaluate_fid(
+        key, state, models, cfg, feat, real_mu, real_sigma,
+        n_samples=64, batch=16, prior="damc", mesh=None,
+    )
+    mesh = make_mesh()
+    state_r = replicate(mesh, state)
+    fid_mesh = evaluate_fid(
+        key, state_r, models, cfg, feat, real_mu, real_sigma,
+        n_samples=64, batch=16, prior="damc", mesh=mesh,
+    )
+    np.testing.assert_allclose(fid_mesh, fid_host, rtol=1e-3, atol=1e-5)
