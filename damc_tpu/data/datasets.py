@@ -260,20 +260,33 @@ class LSUNClassImages:
     def __len__(self) -> int:
         return self.length
 
-    def _get_one(self, index: int) -> np.ndarray:
+    def _get_buf(self, index: int) -> bytes:
         with self.env.begin() as txn:
             imgbuf = txn.get(self.keys[int(index)])
         if imgbuf is None:
             raise KeyError(f"missing lmdb key at index {index} in {self.root}")
-        return _decode_crop_resize(imgbuf, self.size)
+        return bytes(imgbuf)
+
+    def _get_one(self, index: int) -> np.ndarray:
+        return _decode_crop_resize(self._get_buf(index), self.size)
 
     def __getitem__(self, index):
         if np.isscalar(index) or isinstance(index, (int, np.integer)):
             return self._get_one(int(index))
         index = np.asarray(index)
+        bufs = [self._get_buf(int(j)) for j in index]
+        # Batch fast path: LSUN blobs are JPEG — decode+crop+Lanczos in the
+        # native C++ thread pool (damc_tpu/data/native_jpeg.py). Non-JPEG
+        # payloads (or no toolchain) fall back to the PIL path per item.
+        if bufs and all(b[:2] == b"\xff\xd8" for b in bufs):
+            from .native_jpeg import decode_crop_resize_batch, native_jpeg_available
+
+            if native_jpeg_available():
+                out, _ = decode_crop_resize_batch(bufs, self.size)
+                return out
         out = np.empty((len(index), self.size, self.size, 3), np.uint8)
-        for i, j in enumerate(index):
-            out[i] = self._get_one(int(j))
+        for i, b in enumerate(bufs):
+            out[i] = _decode_crop_resize(b, self.size)
         return out
 
 

@@ -1,0 +1,115 @@
+"""ctypes binding for the native JPEG -> tensor pipeline.
+
+Compiles `native/jpeg_pipeline.cpp` on first use (g++ -O3 -ljpeg, cached
+under ~/.cache/damc) and exposes `decode_crop_resize_batch`: JPEG bytes ->
+uint8 (N, size, size, 3) with the LSUN transform (center-crop short side +
+Lanczos-3 resize, reference `data/dataset.py:47-64`) decoded by a C++
+thread pool. Per-image cost matches PIL's (~8 ms at 512^2 -> 256, decode-
+dominated, same libjpeg); the win is the pool scaling across items on
+many-core TPU hosts — this build container has ONE core, so the speedup is
+~n_threads on real hardware but unmeasurable here. Falls back gracefully
+when no toolchain / libjpeg dev headers are present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "jpeg_pipeline.cpp",
+)
+_CACHE_DIR = os.path.expanduser("~/.cache/damc")
+_LIB_PATH = os.path.join(_CACHE_DIR, "libjpeg_pipeline.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_error: Optional[str] = None
+
+
+def _build() -> str:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+        "-o", _LIB_PATH + ".tmp", _SRC, "-ljpeg",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+    return _LIB_PATH
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_error
+    with _lock:
+        if _lib is not None or _lib_error is not None:
+            return _lib
+        try:
+            lib = ctypes.CDLL(_build())
+        except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+            _lib_error = str(e)
+            return None
+        lib.damc_jpeg_decode_batch.restype = ctypes.c_int
+        lib.damc_jpeg_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_jpeg_available() -> bool:
+    return _load() is not None
+
+
+def decode_crop_resize_batch(
+    bufs: Sequence[bytes],
+    size: int,
+    num_threads: int = 0,
+    strict: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """JPEG byte strings -> (uint8 (N, size, size, 3), ok mask (N,) bool).
+
+    With strict=True a corrupt buffer raises (the reference swallowed decode
+    errors and substituted sample 0, `data/dataset.py:317-324` — a bug we
+    refuse to copy); strict=False returns zeros + ok=False for bad items.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native jpeg pipeline unavailable: {_lib_error}")
+    n = len(bufs)
+    out = np.zeros((n, size, size, 3), np.uint8)
+    ok = np.zeros((n,), np.uint8)
+    if n == 0:
+        return out, ok.astype(bool)
+    buf_arr = (ctypes.c_char_p * n)(*bufs)
+    len_arr = (ctypes.c_size_t * n)(*[len(b) for b in bufs])
+    if num_threads <= 0:
+        num_threads = min(16, os.cpu_count() or 4)
+    lib.damc_jpeg_decode_batch(
+        ctypes.cast(buf_arr, ctypes.POINTER(ctypes.c_char_p)),
+        len_arr,
+        n,
+        size,
+        out.ctypes.data_as(ctypes.c_void_p),
+        ok.ctypes.data_as(ctypes.c_void_p),
+        num_threads,
+    )
+    ok_mask = ok.astype(bool)
+    if strict and not ok_mask.all():
+        bad = np.nonzero(~ok_mask)[0].tolist()
+        raise ValueError(f"corrupt JPEG buffers at indices {bad}")
+    return out, ok_mask
