@@ -31,6 +31,12 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, mcmc=dataclasses.replace(cfg.mcmc, e_l_steps=100)
         )
+    # README eval recipes (`README.md:52-58`): e_l_step_size 1.6 for
+    # CIFAR-10, 0.4 elsewhere (g_llhd_sigma comes from the preset).
+    if args.e_l_step_size is None and cfg.model.dataset == "cifar10":
+        cfg = dataclasses.replace(
+            cfg, mcmc=dataclasses.replace(cfg.mcmc, e_l_step_size=1.6)
+        )
 
     train_images, fid_images, mse_images = load_dataset(cfg)
     feature_fn, metric_name = make_feature_fn(cfg)
