@@ -11,8 +11,11 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .tp import channel_sharding_spec, shard_params_channelwise
 
 __all__ = [
+    "channel_sharding_spec",
+    "shard_params_channelwise",
     "global_mesh",
     "initialize_distributed",
     "make_global_batch",
