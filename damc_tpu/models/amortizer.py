@@ -188,6 +188,8 @@ def sample_q(
     xemb: Optional[jax.Array] = None,
     dtype=jnp.float32,
     hoisted: bool = True,
+    fused: Optional[bool] = None,
+    fused_interpret: bool = False,
 ) -> jax.Array:
     """Draw z ~ Q(. | x) (posterior) or z ~ Q(.) (prior when x is None).
 
@@ -200,6 +202,14 @@ def sample_q(
     context matmuls of every denoiser layer are precomputed once for the
     whole sweep (exact same math, hoisted out of the scan — see
     `models/denoiser.py::LatentDenoiser.sample_tables`).
+
+    `fused` selects the single-kernel Pallas sweep
+    (`ops/pallas/fused_qsweep.py`: whole denoiser + tables + chain VMEM-
+    resident for all n steps). None = auto: on TPU, when the hoisted path is
+    active and the denoiser family fits the VMEM budget (the StyleGAN-width
+    variant does not and keeps the scan). Ancestral noise then comes from
+    the on-core PRNG — same distribution, different stream than the scan
+    path for the same key (noiseless sweeps are bit-comparable; tested).
     """
     key_init, key_emb, key_sweep = jax.random.split(key, 3)
 
@@ -235,6 +245,34 @@ def sample_q(
         )
         step_xs = tables["pre_t"]  # leading axis n, sliced by the scan
         pre_x = tables["pre_x"]
+
+        from ..ops.pallas.fused_qsweep import (
+            denoiser_layer_params,
+            fits_vmem,
+            fused_reverse_sweep,
+            step_coefficients,
+        )
+
+        fourier, layers = denoiser_layer_params(
+            jax.tree_util.tree_map(jax.lax.stop_gradient, params)["params"]["p"]
+        )
+        if fused is None:
+            fused = (
+                jax.default_backend() not in ("cpu",)
+                and fits_vmem(fourier, layers, pre_x, step_xs)
+            )
+        if fused:
+            coeffs = step_coefficients(
+                n, model.logsnr_min, model.logsnr_max, model.var_type
+            )
+            seed = jax.random.randint(
+                key_sweep, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+            return fused_reverse_sweep(
+                z_init, fourier, layers, pre_x, step_xs, coeffs, seed,
+                steps=n, with_noise=model.with_noise,
+                residual=model.residual, interpret=fused_interpret,
+            )
 
         def denoise_fn(z, logsnr, pre_t_step):
             return model.apply(

@@ -1,0 +1,313 @@
+"""Pallas TPU kernel: the ENTIRE n-step DAMC reverse-diffusion sweep.
+
+The amortized sampler Q (reference `_netQ_U.forward`,
+`/root/reference/workspace/src/diffusion_net.py:585-622`) is a 100-step
+ancestral sweep whose per-step work is one latent-denoiser forward — seven
+FiLM-gated linear layers over (B, <=512) blocks. Under XLA's `lax.scan`
+each small matmul round-trips activations through HBM and the MXU runs at
+~2-5% utilization (measured ~4.6 ms for 100 steps at B=128 on v5e). This
+kernel keeps EVERYTHING resident in VMEM for the whole sweep:
+
+  * all denoiser weights (~6 MB for the CIFAR-10 family),
+  * the hoisted per-step/per-sample context tables of
+    `models/denoiser.py::sample_tables` (the algebraic split
+    SiLU([t,x]) @ K == SiLU(t) @ Kt + SiLU(x) @ Kx),
+  * the chain state and activations,
+
+and draws ancestral noise from the on-core PRNG (Box-Muller), so one kernel
+launch replaces 100 scan iterations of HBM traffic.
+
+Schedule parity by construction: the per-step scalars (x0-prediction and
+ancestral-mean coefficients, std, last-step flag) are NOT re-derived here —
+they are extracted from `ops.diffusion.pred_x_from_eps` /
+`diffusion_reverse` by linearity probing (those maps are linear in (z, eps)
+and (z_t, x) with logsnr-only coefficients), so the kernel consumes the
+exact fp32 numbers the lax.scan path computes.
+
+VMEM gating: the kernel is for the compact denoiser family (CIFAR/SVHN/
+CelebA/MNIST/toy widths). The StyleGAN variant (widths 1024, nz=7168,
+~118 MB of layer-1 weights alone) cannot fit and keeps the scan path —
+`fits_vmem()` decides and `sample_q` auto-dispatches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..diffusion import diffusion_reverse, logsnr_schedule, pred_x_from_eps
+from .fused_langevin import _normal_sample
+
+# Per-layer refs, in order: lin_k, lin_b, skip_k, skip_b, gate_k, gate_b,
+# hyper_k, pre_x, pre_t.
+_REFS_PER_LAYER = 9
+_N_COEF = 6  # c1, c2, m_z, m_x, std, is_last
+_LRELU = 0.01  # the denoiser's activation slope (`diffusion_net.py:520`)
+
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# fp32 MXU precision: the sampler is a 100-step residual recursion, so
+# single-pass-bf16 rounding (TPU 'default') visibly perturbs z_0; run the
+# kernel's dots at HIGHEST (f32-accurate passes) like the fp32 reference.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def step_coefficients(
+    n_interval: int, logsnr_min: float, logsnr_max: float, var_type: str
+) -> jax.Array:
+    """(n, 6) fp32 table [c1, c2, m_z, m_x, std, is_last] per sweep step.
+
+    Extracted from the canonical diffusion ops by linearity probing so the
+    fused kernel's schedule math is bit-identical to the scan path
+    (`ops/reverse_diffusion.py:72-105`).
+    """
+    n = n_interval
+    i_arr = jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
+    logsnr_t = logsnr_schedule(i_arr / (n - 1.0), logsnr_min, logsnr_max)
+    logsnr_s = logsnr_schedule(
+        jnp.maximum(i_arr - 1.0, 0.0) / (n - 1.0), logsnr_min, logsnr_max
+    )
+    one = jnp.ones_like(logsnr_t)
+    zero = jnp.zeros_like(logsnr_t)
+    # pred_x_from_eps is linear: x_hat = c1 * z - c2 * eps.
+    c1 = pred_x_from_eps(one, zero, logsnr_t)
+    c2 = -pred_x_from_eps(zero, one, logsnr_t)
+    # ancestral mean is linear: mean = m_z * z_t + m_x * x_hat.
+    dist_z = diffusion_reverse(zero, one, logsnr_s, logsnr_t, var_type)
+    dist_x = diffusion_reverse(one, zero, logsnr_s, logsnr_t, var_type)
+    std = dist_z.std
+    is_last = (i_arr == 0.0).astype(jnp.float32)
+    return jnp.stack(
+        [c1, c2, dist_z.mean, dist_x.mean, std, is_last], axis=-1
+    ).astype(jnp.float32)
+
+
+def _kernel(
+    *refs,
+    n_layers: int,
+    steps: int,
+    with_noise: bool,
+    residual: bool,
+):
+    (seed_ref, coef_ref, z_ref, fourier_ref), rest = refs[:4], refs[4:]
+    layer_refs = [
+        rest[i * _REFS_PER_LAYER : (i + 1) * _REFS_PER_LAYER]
+        for i in range(n_layers)
+    ]
+    out_ref = rest[n_layers * _REFS_PER_LAYER]
+
+    if with_noise:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    fourier = fourier_ref[:]
+    weights = []  # VMEM-resident for the whole sweep
+    for lr in layer_refs:
+        lin_k, lin_b, skip_k, skip_b, gate_k, gate_b, hyper_k, pre_x, _ = lr
+        weights.append(
+            (lin_k[:], lin_b[:], skip_k[:], skip_b[:], gate_k[:], gate_b[:],
+             hyper_k[:], pre_x[:])
+        )
+
+    two_pi = 2.0 * np.pi
+
+    def denoise(z, step):
+        films = []
+        for li in range(n_layers):
+            lin_k, lin_b, skip_k, skip_b, gate_k, gate_b, hyper_k, pre_x = weights[li]
+            pre_t_row = layer_refs[li][8][pl.ds(step, 1), :]  # (1, dout)
+            pre = pre_t_row + pre_x  # broadcast over the block
+            c = jax.nn.silu(pre)
+            gate = jax.nn.sigmoid(
+                jnp.dot(c, gate_k, preferred_element_type=jnp.float32, precision=_PRECISION) + gate_b
+            )
+            bias = jnp.dot(c, hyper_k, preferred_element_type=jnp.float32, precision=_PRECISION)
+            films.append((gate, bias))
+
+        def apply_layer(li, h):
+            lin_k, lin_b, skip_k, skip_b = weights[li][:4]
+            gate, bias = films[li]
+            return (
+                (jnp.dot(h, lin_k, preferred_element_type=jnp.float32, precision=_PRECISION) + lin_b)
+                * gate
+                + bias
+                + jnp.dot(h, skip_k, preferred_element_type=jnp.float32, precision=_PRECISION)
+                + skip_b
+            )
+
+        act = lambda h: jnp.where(h >= 0.0, h, _LRELU * h)
+
+        # Random-Fourier args reach hundreds of radians (z @ B ~ N(0, nz));
+        # Mosaic's sin/cos loses ~1e-2 there. sin(2*pi*t) has period 1 in t,
+        # so reduce t to [-0.5, 0.5] EXACTLY before the 2*pi multiply — this
+        # is more accurate than libm's own reduction of the large product.
+        t = jnp.dot(z, fourier, preferred_element_type=jnp.float32, precision=_PRECISION)
+        t = t - jnp.round(t)
+        proj = two_pi * t
+        h = jnp.concatenate([jnp.sin(proj), jnp.cos(proj), z], axis=-1)
+        # U-Net body (`models/denoiser.py::_unet`): 3 in, 1 mid, 3 out with
+        # skip concats; activation AFTER storing the skip, BEFORE out layers.
+        hs = []
+        li = 0
+        for _ in range(3):
+            h = apply_layer(li, h); li += 1
+            hs.append(h)
+            h = act(h)
+        h = apply_layer(li, h); li += 1
+        for _ in range(3):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = act(h)
+            h = apply_layer(li, h); li += 1
+        return z + h if residual else h
+
+    def body(step, z):
+        row = coef_ref[pl.ds(step, 1), :]  # (1, 6)
+        c1, c2 = row[0, 0], row[0, 1]
+        m_z, m_x = row[0, 2], row[0, 3]
+        std, is_last = row[0, 4], row[0, 5]
+
+        eps = denoise(z, step)
+        x_pred = c1 * z - c2 * eps
+        z_next = m_z * z + m_x * x_pred
+        if with_noise:
+            z_next = z_next + std * _normal_sample(z.shape)
+        return jnp.where(is_last > 0.5, x_pred, z_next)
+
+    out_ref[:] = jax.lax.fori_loop(0, steps, body, z_ref[:])
+
+
+def _layer_tuple(p) -> Tuple[jax.Array, ...]:
+    """Flatten one ConcatSquashLinear param dict into the kernel's ref order
+    (without the per-chain/per-step tables)."""
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    return (
+        f32(p["_lin"]["kernel"]),
+        f32(p["_lin"]["bias"]).reshape(1, -1),
+        f32(p["_skip"]["kernel"]),
+        f32(p["_skip"]["bias"]).reshape(1, -1),
+        f32(p["_gate"]["kernel"]),
+        f32(p["_gate"]["bias"]).reshape(1, -1),
+        f32(p["_hyper_bias"]["kernel"]),
+    )
+
+
+def denoiser_layer_params(denoiser_params) -> Tuple[jax.Array, List]:
+    """Extract (fourier_b, [per-layer weight tuples]) from a LatentDenoiser
+    param subtree, ordered in/mid/out like `LatentDenoiser._all_layers`."""
+    p = denoiser_params
+    fourier = jnp.asarray(p["fourier_b"], jnp.float32)
+    names = [f"in_layers_{i}" for i in range(3)] + ["mid_layers_0"] + [
+        f"out_layers_{i}" for i in range(3)
+    ]
+    return fourier, [_layer_tuple(p[name]) for name in names]
+
+
+def estimate_vmem_bytes(fourier, layers, pre_x, pre_t, block_b: int) -> int:
+    """Rough VMEM footprint of the fused sweep at a given chain block."""
+    total = fourier.size
+    for lt in layers:
+        total += sum(int(np.prod(t.shape)) for t in lt)
+    for t in pre_t:
+        total += int(np.prod(t.shape))
+    widths = [t.shape[-1] for t in pre_x]
+    total += sum(block_b * w for w in widths)
+    # activations: generous x6 of the widest layer + the input embedding
+    total += 6 * block_b * max(widths) + block_b * 4 * fourier.shape[0]
+    return int(total * 4)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "with_noise", "residual", "interpret", "block_b"),
+)
+def fused_reverse_sweep(
+    z_init: jax.Array,
+    fourier: jax.Array,
+    layers: Sequence[Tuple[jax.Array, ...]],
+    pre_x: Sequence[jax.Array],
+    pre_t: Sequence[jax.Array],
+    coeffs: jax.Array,
+    seed: jax.Array,
+    steps: int,
+    with_noise: bool = True,
+    residual: bool = True,
+    interpret: bool = False,
+    block_b: int = 256,
+) -> jax.Array:
+    """Run the whole n-step reverse sweep in one Pallas kernel.
+
+    Args mirror the hoisted scan path: `pre_x[l]` (B, dout_l) sample tables,
+    `pre_t[l]` (n, dout_l) step tables (`LatentDenoiser.sample_tables`),
+    `coeffs` from `step_coefficients`. Chains tile over a 1-d grid in
+    `block_b` rows (per-block PRNG streams), padding non-divisible batches.
+    """
+    n_layers = len(layers)
+    b, nz = z_init.shape
+    block_b = min(block_b, max(b, 8))
+    n_blocks = -(-b // block_b)
+    b_pad = n_blocks * block_b
+    z32 = z_init.astype(jnp.float32)
+    pre_x = [jnp.asarray(t, jnp.float32) for t in pre_x]
+    if b_pad != b:
+        z32 = jnp.pad(z32, ((0, b_pad - b), (0, 0)))
+        pre_x = [jnp.pad(t, ((0, b_pad - b), (0, 0))) for t in pre_x]
+
+    kernel = functools.partial(
+        _kernel,
+        n_layers=n_layers,
+        steps=steps,
+        with_noise=with_noise,
+        residual=residual,
+    )
+
+    rep = lambda t: pl.BlockSpec(t.shape, lambda i: tuple([0] * t.ndim))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        rep(coeffs),
+        pl.BlockSpec((block_b, nz), lambda i: (i, 0)),  # z
+        rep(fourier),
+    ]
+    operands = [
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(coeffs, jnp.float32),
+        z32,
+        jnp.asarray(fourier, jnp.float32),
+    ]
+    for lt, px, pt in zip(layers, pre_x, pre_t):
+        for t in lt:
+            in_specs.append(rep(t))
+            operands.append(t)
+        in_specs.append(pl.BlockSpec((block_b, px.shape[-1]), lambda i: (i, 0)))
+        operands.append(px)
+        pt32 = jnp.asarray(pt, jnp.float32)
+        in_specs.append(rep(pt32))
+        operands.append(pt32)
+
+    flops_per_step = 0
+    for lt in layers:
+        flops_per_step += 2 * b_pad * sum(
+            int(np.prod(t.shape)) for t in lt if t.ndim == 2
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((b_pad, nz), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, nz), lambda i: (i, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=steps * flops_per_step,
+            bytes_accessed=int(sum(np.prod(t.shape) for lt in layers for t in lt) * 4),
+            transcendentals=steps * b_pad * nz * 4,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*operands)
+    return out[:b]
+
+
+def fits_vmem(fourier, layers, pre_x, pre_t, block_b: int = 256) -> bool:
+    return estimate_vmem_bytes(fourier, layers, pre_x, pre_t, block_b) <= _VMEM_BUDGET_BYTES
