@@ -206,17 +206,36 @@ def denoiser_layer_params(denoiser_params) -> Tuple[jax.Array, List]:
     return fourier, [_layer_tuple(p[name]) for name in names]
 
 
+def _padded(shape) -> int:
+    """Mosaic tile-padded element count: last dim to 128 lanes, second-minor
+    to 8 sublanes (fp32)."""
+    if len(shape) == 0:
+        return 1
+    dims = list(shape)
+    dims[-1] = -(-dims[-1] // 128) * 128
+    if len(dims) >= 2:
+        dims[-2] = -(-dims[-2] // 8) * 8
+    return int(np.prod(dims))
+
+
 def estimate_vmem_bytes(fourier, layers, pre_x, pre_t, block_b: int) -> int:
-    """Rough VMEM footprint of the fused sweep at a given chain block."""
-    total = fourier.size
+    """VMEM footprint of the fused sweep at a given chain block, including
+    Mosaic lane/sublane padding and double buffering of the grid-blocked
+    operands (z and the pre_x tables stream per block; weights/tables are
+    grid-invariant single copies)."""
+    total = _padded(fourier.shape)
     for lt in layers:
-        total += sum(int(np.prod(t.shape)) for t in lt)
+        total += sum(_padded(t.shape) for t in lt)
     for t in pre_t:
-        total += int(np.prod(t.shape))
+        total += _padded(t.shape)
     widths = [t.shape[-1] for t in pre_x]
-    total += sum(block_b * w for w in widths)
-    # activations: generous x6 of the widest layer + the input embedding
-    total += 6 * block_b * max(widths) + block_b * 4 * fourier.shape[0]
+    # double-buffered blocked operands: z + every pre_x block
+    nz_pad = -(-fourier.shape[0] // 128) * 128
+    total += 2 * block_b * nz_pad
+    total += 2 * sum(_padded((block_b, w)) for w in widths)
+    # live activations: input emb + skip stack + concat + film pair
+    total += _padded((block_b, 4 * nz_pad))
+    total += 8 * _padded((block_b, max(widths)))
     return int(total * 4)
 
 
@@ -236,7 +255,7 @@ def fused_reverse_sweep(
     with_noise: bool = True,
     residual: bool = True,
     interpret: bool = False,
-    block_b: int = 256,
+    block_b: int = 128,
 ) -> jax.Array:
     """Run the whole n-step reverse sweep in one Pallas kernel.
 
@@ -309,5 +328,5 @@ def fused_reverse_sweep(
     return out[:b]
 
 
-def fits_vmem(fourier, layers, pre_x, pre_t, block_b: int = 256) -> bool:
+def fits_vmem(fourier, layers, pre_x, pre_t, block_b: int = 128) -> bool:
     return estimate_vmem_bytes(fourier, layers, pre_x, pre_t, block_b) <= _VMEM_BUDGET_BYTES
