@@ -36,6 +36,21 @@ def enable_compile_cache(path: str = "~/.cache/damc/jax_compile") -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
+def str2bool(v: str) -> bool:
+    """Strict bool flag parser. The reference uses `type=bool`, under which
+    ANY non-empty string (including "False") parses truthy
+    (`train_gen_recon.py:376-378,395-397`); we keep the flag names but parse
+    the values correctly."""
+    if isinstance(v, bool):
+        return v
+    s = v.strip().lower()
+    if s in ("true", "t", "yes", "y", "1"):
+        return True
+    if s in ("false", "f", "no", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dataset", type=str, default="cifar10")
@@ -55,24 +70,56 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--nz", type=int, default=None)
     p.add_argument("--ngf", type=int, default=None)
     p.add_argument("--nif", type=int, default=None)
+    p.add_argument("--nc", type=int, default=None, help="image channels")
     p.add_argument("--nxemb", type=int, default=None)
     p.add_argument("--ntemb", type=int, default=None)
     # diffusion
-    p.add_argument("--n_interval", type=int, default=None)
+    p.add_argument(
+        "--n_interval", "--n_interval_posterior", dest="n_interval",
+        type=int, default=None,
+        help="reverse-diffusion steps (reference --n_interval_posterior)",
+    )
+    p.add_argument(
+        "--n_interval_prior", type=int, default=None,
+        help="accepted for reference-CLI parity; the reference parses but "
+        "never uses it (train_gen_recon.py:373) — only the posterior "
+        "interval feeds the amortizer",
+    )
     p.add_argument("--logsnr_min", type=float, default=None)
     p.add_argument("--logsnr_max", type=float, default=None)
+    p.add_argument(
+        "--diffusion_residual", type=str2bool, default=None,
+        help="denoiser predicts a residual on z (reference default True)",
+    )
+    p.add_argument("--var_type", type=str, default=None, choices=["large", "small"])
+    p.add_argument(
+        "--Q_with_noise", type=str2bool, default=None,
+        help="stochastic ancestral steps in Q.sample (reference default True)",
+    )
     p.add_argument("--p_mask", type=float, default=None)
     p.add_argument("--cond_w", type=float, default=None)
     # mcmc
     p.add_argument("--g_l_steps", type=int, default=None)
     p.add_argument("--g_l_step_size", type=float, default=None)
+    p.add_argument("--g_l_with_noise", type=str2bool, default=None)
     p.add_argument("--g_llhd_sigma", type=float, default=None)
     p.add_argument("--e_l_steps", type=int, default=None)
     p.add_argument("--e_l_step_size", type=float, default=None)
+    p.add_argument("--e_l_with_noise", type=str2bool, default=None)
     # optim
     p.add_argument("--g_lr", type=float, default=None)
     p.add_argument("--e_lr", type=float, default=None)
     p.add_argument("--q_lr", type=float, default=None)
+    # grad-clip norms; the reference's *_is_grad_clamp toggles default True
+    # with max_norm=100 (`train_gen_recon.py:392-397`) — pass a very large
+    # norm to disable clipping.
+    p.add_argument("--q_max_norm", type=float, default=None)
+    p.add_argument("--e_max_norm", type=float, default=None)
+    p.add_argument("--g_max_norm", type=float, default=None)
+    p.add_argument(
+        "--fid_batch_size", type=int, default=None,
+        help="FID sample-generation batch (reference MCMC.py:130: 500)",
+    )
     # intervals (reference: print/plot/ckpt/fid_iter, `train_gen_recon.py:399-404`)
     p.add_argument("--print_every", type=int, default=None)
     p.add_argument("--plot_every", type=int, default=None)
@@ -94,15 +141,26 @@ def config_from_args(args, preset_name: Optional[str] = None) -> Config:
                 cfg, **{section: dataclasses.replace(getattr(cfg, section), **kw)}
             )
 
+    if args.n_interval_prior is not None and args.n_interval_prior != (
+        args.n_interval if args.n_interval is not None else cfg.diffusion.n_interval
+    ):
+        print(
+            "[damc] NOTE: --n_interval_prior is accepted for reference-CLI "
+            "parity but has no effect (the reference never uses it either, "
+            "train_gen_recon.py:373)."
+        )
     over(
-        "model", nz=args.nz, ngf=args.ngf, nif=args.nif, nxemb=args.nxemb,
-        ntemb=args.ntemb, compute_dtype=args.compute_dtype,
+        "model", nz=args.nz, ngf=args.ngf, nif=args.nif, nc=args.nc,
+        nxemb=args.nxemb, ntemb=args.ntemb, compute_dtype=args.compute_dtype,
     )
     over(
         "diffusion",
         n_interval=args.n_interval,
         logsnr_min=args.logsnr_min,
         logsnr_max=args.logsnr_max,
+        residual=args.diffusion_residual,
+        var_type=args.var_type,
+        with_noise=args.Q_with_noise,
         p_mask=args.p_mask,
         cond_w=args.cond_w,
     )
@@ -110,17 +168,24 @@ def config_from_args(args, preset_name: Optional[str] = None) -> Config:
         "mcmc",
         g_l_steps=args.g_l_steps,
         g_l_step_size=args.g_l_step_size,
+        g_l_with_noise=args.g_l_with_noise,
         g_llhd_sigma=args.g_llhd_sigma,
         e_l_steps=args.e_l_steps,
         e_l_step_size=args.e_l_step_size,
+        e_l_with_noise=args.e_l_with_noise,
     )
-    over("optim", g_lr=args.g_lr, e_lr=args.e_lr, q_lr=args.q_lr)
+    over(
+        "optim", g_lr=args.g_lr, e_lr=args.e_lr, q_lr=args.q_lr,
+        q_max_norm=args.q_max_norm, e_max_norm=args.e_max_norm,
+        g_max_norm=args.g_max_norm,
+    )
     over(
         "train",
         seed=args.seed,
         batch_size=args.batch_size,
         iterations=args.iterations,
         n_fid_samples=args.n_fid_samples,
+        fid_batch_size=args.fid_batch_size,
         log_path=args.log_path,
         data_path=args.data_path,
         resume_path=args.resume_path,

@@ -87,3 +87,41 @@ def test_cli_overrides():
     assert cfg.train.batch_size == 32
     # untouched defaults survive
     assert cfg.mcmc.e_l_steps == 60
+
+
+def test_cli_full_reference_flag_inventory():
+    """Every semantic knob of the reference argparse blocks
+    (`train_gen_recon.py:351-406`) is settable from the CLI, and bool flags
+    parse strictly (reference `type=bool` footgun fixed)."""
+    import argparse
+
+    from damc_tpu.cli.common import add_common_flags, config_from_args
+
+    p = argparse.ArgumentParser()
+    add_common_flags(p)
+    args = p.parse_args(
+        [
+            "--dataset", "cifar10", "--nc", "1", "--var_type", "small",
+            "--diffusion_residual", "False", "--Q_with_noise", "false",
+            "--g_l_with_noise", "0", "--e_l_with_noise", "true",
+            "--q_max_norm", "50", "--e_max_norm", "60", "--g_max_norm", "70",
+            "--n_interval_posterior", "25", "--n_interval_prior", "25",
+            "--fid_batch_size", "250", "--logsnr_min", "-4.0",
+        ]
+    )
+    cfg = config_from_args(args)
+    assert cfg.model.nc == 1
+    assert cfg.diffusion.var_type == "small"
+    assert cfg.diffusion.residual is False
+    assert cfg.diffusion.with_noise is False
+    assert cfg.mcmc.g_l_with_noise is False and cfg.mcmc.e_l_with_noise is True
+    assert (cfg.optim.q_max_norm, cfg.optim.e_max_norm, cfg.optim.g_max_norm) == (50, 60, 70)
+    assert cfg.diffusion.n_interval == 25
+    assert cfg.train.fid_batch_size == 250
+    assert cfg.diffusion.logsnr_min == -4.0
+
+    # strict bool parsing: "False" must not parse truthy
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        p.parse_args(["--diffusion_residual", "maybe"])
