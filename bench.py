@@ -95,6 +95,7 @@ def bench_kernel_as_deployed(models, state, cfg) -> float:
                 k, z0, models.ebm, state.params_e,
                 TRAIN_STEPS, mc.e_l_step_size, mc.e_l_with_noise,
                 use_pallas=cfg.train.use_pallas,
+                dots_dtype=cfg.train.pallas_dots_dtype,
             )
             return acc + jnp.sum(en), None
 
@@ -115,6 +116,7 @@ def bench_kernel_single_call(models, state, cfg) -> float:
         return prior_langevin_auto(
             key, zz, models.ebm, state.params_e, 600, mc.e_l_step_size,
             True, use_pallas=cfg.train.use_pallas,
+            dots_dtype=cfg.train.pallas_dots_dtype,
         )[0]
 
     dt = timed(run, (jax.random.PRNGKey(2), z), iters=20)

@@ -157,6 +157,7 @@ def prior_langevin_auto(
     step_size: float,
     with_noise: bool = True,
     use_pallas: bool = True,
+    dots_dtype: str = "float32",
 ) -> Tuple[jax.Array, jax.Array]:
     """Prior-Langevin chain with automatic kernel selection.
 
@@ -164,6 +165,13 @@ def prior_langevin_auto(
     see `ops/pallas/fused_langevin.py`, ~1.4x over the scan on TPU v5e) when
     the EBM is the standard 2-hidden-layer `LatentEBM` and we're on TPU;
     falls back to the `lax.scan` path otherwise.
+
+    dots_dtype='bfloat16' runs the kernel's MXU dots on bf16 operands with
+    fp32 accumulation/state/noise (the precision class the torch reference
+    gets by default from TF32 on Ampere). Learning-validated but measured
+    throughput-neutral at the standard EBM widths — the kernel is VPU-bound;
+    see utils/config.py. Only the Pallas path honors it; the scan fallback
+    stays fp32.
 
     Returns (z_final, final_energy_per_chain).
     """
@@ -196,6 +204,7 @@ def prior_langevin_auto(
         z_final = fused_prior_langevin(
             z_init, *weights, seed=seed, steps=steps,
             step_size=float(step_size), with_noise=with_noise,
+            dots_dtype=dots_dtype,
         )
     else:
         z_final, _ = langevin_sample(

@@ -61,7 +61,21 @@ def _uniform_from_bits(bits):
 
 
 def _normal_sample(shape):
-    """Box-Muller from two uint32 draws of the on-core PRNG."""
+    """Box-Muller from uint32 draws of the on-core PRNG.
+
+    Both transform outputs (r·cos, r·sin — independent standard normals) are
+    used when the row count is even: uniforms are drawn at half the rows and
+    the two output branches are stacked on the sublane axis, halving the
+    PRNG draws and the log/sqrt transcendentals per element while keeping
+    full-lane shapes."""
+    rows, cols = shape
+    if rows % 2 == 0:
+        half = (rows // 2, cols)
+        u1 = _uniform_from_bits(pltpu.prng_random_bits(half))
+        u2 = _uniform_from_bits(pltpu.prng_random_bits(half))
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = _TWO_PI * u2
+        return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
     u1 = _uniform_from_bits(pltpu.prng_random_bits(shape))
     u2 = _uniform_from_bits(pltpu.prng_random_bits(shape))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
@@ -81,31 +95,42 @@ def _kernel(
     steps: int,
     step_size: float,
     with_noise: bool,
+    dots_dtype=jnp.float32,
 ):
     if with_noise:  # static; PRNG untouched on noiseless chains
         # Independent stream per chain-block (grid over the batch axis).
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    k1 = k1_ref[:]
+    # With dots_dtype=bfloat16 the MXU operands are bf16 (weights cast once,
+    # activations per step) while accumulation, the chain state, the energy
+    # gradient assembly, and the noise all stay fp32.
+    k1 = k1_ref[:].astype(dots_dtype)
     b1 = b1_ref[:]
-    k2 = k2_ref[:]
+    k2 = k2_ref[:].astype(dots_dtype)
     b2 = b2_ref[:]
     k3 = k3_ref[:]  # (1, ndf): transposed final layer for row-vector math
+    k1t = k1.T
+    k2t = k2.T
     coeff = 0.5 * step_size * step_size
 
     def body(_, z):
         h1p = (
-            jnp.dot(z, k1, preferred_element_type=jnp.float32) + b1
+            jnp.dot(z.astype(dots_dtype), k1, preferred_element_type=jnp.float32)
+            + b1
         )
         h1 = _lrelu(h1p)
         h2p = (
-            jnp.dot(h1, k2, preferred_element_type=jnp.float32) + b2
+            jnp.dot(h1.astype(dots_dtype), k2, preferred_element_type=jnp.float32)
+            + b2
         )
         # Backward (hand-derived; the energy head is linear in h2).
         d2 = _dlrelu(h2p) * k3  # (B, ndf) via broadcast of (1, ndf)
         d1 = _dlrelu(h1p) * jnp.dot(
-            d2, k2.T, preferred_element_type=jnp.float32
+            d2.astype(dots_dtype), k2t, preferred_element_type=jnp.float32
         )
-        grad = jnp.dot(d1, k1.T, preferred_element_type=jnp.float32) + z
+        grad = (
+            jnp.dot(d1.astype(dots_dtype), k1t, preferred_element_type=jnp.float32)
+            + z
+        )
         z = z - coeff * grad
         if with_noise:
             z = z + step_size * _normal_sample(z.shape)
@@ -115,7 +140,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("steps", "step_size", "with_noise", "interpret")
+    jax.jit,
+    static_argnames=("steps", "step_size", "with_noise", "interpret", "dots_dtype"),
 )
 def fused_prior_langevin(
     z: jax.Array,
@@ -129,6 +155,7 @@ def fused_prior_langevin(
     step_size: float,
     with_noise: bool = True,
     interpret: bool = False,
+    dots_dtype: str = "float32",
 ) -> jax.Array:
     """Run the full K-step prior-Langevin chain in one Pallas kernel.
 
@@ -140,6 +167,11 @@ def fused_prior_langevin(
       steps / step_size / with_noise: chain hyperparameters (static).
       interpret: run in TPU-interpreter mode (CPU testing; simulates the
         Mosaic primitives including the on-core PRNG).
+      dots_dtype: 'float32' (default, exact scan parity) or 'bfloat16' —
+        bf16 MXU operands with fp32 accumulation/state/noise. The energy
+        gradient picks up ~1e-2 relative operand rounding, far below the
+        per-step Langevin noise scale; stationary statistics are validated
+        on TPU by tools/validate_pallas_tpu.py.
     """
     b1 = b1.reshape(1, -1).astype(jnp.float32)
     b2 = b2.reshape(1, -1).astype(jnp.float32)
@@ -147,7 +179,11 @@ def fused_prior_langevin(
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
 
     kernel = functools.partial(
-        _kernel, steps=steps, step_size=float(step_size), with_noise=with_noise
+        _kernel,
+        steps=steps,
+        step_size=float(step_size),
+        with_noise=with_noise,
+        dots_dtype=jnp.dtype(dots_dtype).type,
     )
 
     # Tile the chain (batch) axis so arbitrarily many chains fit: each grid

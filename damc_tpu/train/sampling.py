@@ -47,6 +47,7 @@ def gen_samples_ebm_prior(
         mc.e_l_step_size,
         mc.e_l_with_noise,
         use_pallas=cfg.train.use_pallas,
+        dots_dtype=cfg.train.pallas_dots_dtype,
     )
     return models.generator.apply(state.params_g, z)
 

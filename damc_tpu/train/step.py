@@ -97,6 +97,7 @@ def make_train_step(
                 mc.e_l_step_size,
                 mc.e_l_with_noise,
                 use_pallas=tc.use_pallas,
+                dots_dtype=tc.pallas_dots_dtype,
             )
 
         # ---- 4. q_updates x amortizer update (denoising score matching) ---

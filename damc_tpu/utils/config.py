@@ -95,6 +95,15 @@ class TrainConfig:
     # Use the fused Pallas prior-Langevin kernel on TPU (exact-parity
     # fallback to lax.scan elsewhere; see ops/pallas/fused_langevin.py).
     use_pallas: bool = True
+    # MXU operand dtype for the fused kernel's dots ('float32'|'bfloat16').
+    # bf16 operands + fp32 accumulation/state/noise is ULA-statistics and
+    # anomaly-AUPRC learning-validated on TPU (tools/
+    # validate_pallas_bf16_tpu.py; AUPRC 0.9998 both dtypes) but measured
+    # throughput-NEUTRAL in controlled A/B: the kernel is VPU-bound (noise +
+    # elementwise), not MXU-bound, at every relevant config. fp32 stays the
+    # default for bit-level scan parity; the knob exists for wider EBMs
+    # where the dots would dominate.
+    pallas_dots_dtype: str = "float32"
     # Rematerialize the generator inside the posterior-Langevin gradient
     # (trades FLOPs for activation memory; for very large image configs).
     remat_generator: bool = False

@@ -66,6 +66,23 @@ def test_tiled_large_batch_matches_scan(setup):
 
 
 @pytest.mark.slow
+def test_bf16_dots_tracks_fp32(setup):
+    """dots_dtype='bfloat16' (bf16 MXU operands, fp32 accumulate/state) must
+    stay within operand-rounding distance of the fp32 kernel on a noiseless
+    chain; learning-level validation runs on TPU
+    (tools/validate_pallas_bf16_tpu.py)."""
+    ebm, params, z = setup
+    weights = ebm_params_to_dense_weights(params)
+    kw = dict(seed=jnp.int32(0), steps=5, step_size=0.3, with_noise=False,
+              interpret=True)
+    z_f32 = fused_prior_langevin(z, *weights, **kw)
+    z_bf16 = fused_prior_langevin(z, *weights, dots_dtype="bfloat16", **kw)
+    err = np.max(np.abs(np.asarray(z_f32) - np.asarray(z_bf16)))
+    assert err < 0.05, err  # bf16 operand rounding, compounded over 5 steps
+    assert err > 0.0  # and the bf16 path is actually a different program
+
+
+@pytest.mark.slow
 def test_noisy_path_compiles_in_interpret_mode(setup):
     """The interpret-mode simulator stubs the on-core PRNG (bits == 0), so
     only compile/shape/finiteness is checked here; the stationary-variance

@@ -92,6 +92,16 @@ def main():
     assert abs(var_b - expected) / expected < 0.05
     assert abs(corr) < 0.05
 
+    # 3c. bf16 MXU dots: ULA stationary stats must hold (fp32 accumulate/
+    # state/noise; operand rounding is far below the per-step noise scale).
+    zs16 = fused_prior_langevin(
+        jnp.zeros((2048, 128)), *zeroed, seed=jnp.int32(7),
+        steps=500, step_size=eps, with_noise=True, dots_dtype="bfloat16",
+    )
+    var16 = float(jnp.var(zs16))
+    print(f"bf16-dots ULA var {var16:.4f} (expected {expected:.4f})")
+    assert abs(var16 - expected) / expected < 0.05
+
     # 4. Throughput vs lax.scan.
     STEPS, N = 600, 30
 
