@@ -27,5 +27,7 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the suite compiles many scan/conv programs;
 # cache them across runs so re-runs are fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Cache EVERY compile (threshold 0): the suite's cost on a 1-core CPU is
+# dominated by hundreds of small sub-second compiles, not execution.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
