@@ -60,16 +60,16 @@ def _uniform_from_bits(bits):
     return top24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
 
 
-def _normal_sample(shape):
+def _normal_sample(shape, pair: bool = True):
     """Box-Muller from uint32 draws of the on-core PRNG.
 
-    Both transform outputs (r·cos, r·sin — independent standard normals) are
-    used when the row count is even: uniforms are drawn at half the rows and
-    the two output branches are stacked on the sublane axis, halving the
-    PRNG draws and the log/sqrt transcendentals per element while keeping
-    full-lane shapes."""
+    With `pair=True` both transform outputs (r·cos, r·sin — independent
+    standard normals) are used when the row count is even: uniforms are
+    drawn at half the rows and the two output branches are stacked on the
+    sublane axis, halving the PRNG draws and the log/sqrt transcendentals
+    per element while keeping full-lane shapes."""
     rows, cols = shape
-    if rows % 2 == 0:
+    if pair and rows % 2 == 0:
         half = (rows // 2, cols)
         u1 = _uniform_from_bits(pltpu.prng_random_bits(half))
         u2 = _uniform_from_bits(pltpu.prng_random_bits(half))

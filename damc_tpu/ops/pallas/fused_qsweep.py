@@ -93,6 +93,7 @@ def _kernel(
     steps: int,
     with_noise: bool,
     residual: bool,
+    noise_pair: bool = True,
 ):
     (seed_ref, coef_ref, z_ref, fourier_ref), rest = refs[:4], refs[4:]
     layer_refs = [
@@ -174,7 +175,7 @@ def _kernel(
         x_pred = c1 * z - c2 * eps
         z_next = m_z * z + m_x * x_pred
         if with_noise:
-            z_next = z_next + std * _normal_sample(z.shape)
+            z_next = z_next + std * _normal_sample(z.shape, pair=noise_pair)
         return jnp.where(is_last > 0.5, x_pred, z_next)
 
     out_ref[:] = jax.lax.fori_loop(0, steps, body, z_ref[:])
@@ -241,7 +242,9 @@ def estimate_vmem_bytes(fourier, layers, pre_x, pre_t, block_b: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "with_noise", "residual", "interpret", "block_b"),
+    static_argnames=(
+        "steps", "with_noise", "residual", "interpret", "block_b", "noise_pair"
+    ),
 )
 def fused_reverse_sweep(
     z_init: jax.Array,
@@ -256,6 +259,7 @@ def fused_reverse_sweep(
     residual: bool = True,
     interpret: bool = False,
     block_b: int = 128,
+    noise_pair: bool = True,
 ) -> jax.Array:
     """Run the whole n-step reverse sweep in one Pallas kernel.
 
@@ -281,6 +285,7 @@ def fused_reverse_sweep(
         steps=steps,
         with_noise=with_noise,
         residual=residual,
+        noise_pair=noise_pair,
     )
 
     rep = lambda t: pl.BlockSpec(t.shape, lambda i: tuple([0] * t.ndim))
