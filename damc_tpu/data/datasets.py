@@ -180,15 +180,24 @@ LSUN_CATEGORIES = (
 def _open_lmdb_env(path: str):
     """Open an LSUN lmdb database read-only (reference `data/dataset.py:36`:
     single reader, no lock/readahead/meminit — the access pattern is random
-    point reads of jpeg blobs)."""
+    point reads of jpeg blobs).
+
+    Prefers the `lmdb` package when installed; otherwise falls back to the
+    repo's native read-only parser (`native/lmdb_reader.cpp` via
+    `data/native_lmdb.py`), which serves the same point-read/key-scan
+    surface straight off the memory-mapped data.mdb."""
     try:
         import lmdb
     except ImportError as e:
+        from .native_lmdb import NativeLMDBEnv, native_lmdb_available
+
+        if native_lmdb_available():
+            return NativeLMDBEnv(path)
         raise ImportError(
-            "LSUN requires the `lmdb` package, which is not installed in "
-            "this environment; install it, pass a compatible `env` object "
-            "to LSUNClassImages, or convert the data to an image folder and "
-            "use load_image_folder()."
+            "LSUN requires the `lmdb` package (not installed) or the native "
+            "reader (no C++ toolchain found to build it); install either, "
+            "pass a compatible `env` object to LSUNClassImages, or convert "
+            "the data to an image folder and use load_image_folder()."
         ) from e
     return lmdb.open(
         path, max_readers=1, readonly=True, lock=False,

@@ -257,6 +257,11 @@ struct Env {
     key_blob.clear();
     key_lens.clear();
     if (root != kInvalidPgno && !walk(root, 0)) return false;
+    // The binding sizes its buffers from the meta's entry count; a corrupt
+    // tree must fail here rather than overrun them.
+    if (key_lens.size() != entries)
+      return fail("scanned key count " + std::to_string(key_lens.size()) +
+                  " != meta entries " + std::to_string(entries));
     keys_cached = true;
     return true;
   }

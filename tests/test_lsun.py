@@ -178,7 +178,9 @@ class TestLSUNImages:
 
 
 def test_lmdb_gate_message():
-    """Without the optional lmdb package, opening a real env explains the fix."""
+    """Without the lmdb package the native parser takes over; a path that is
+    not a database raises a pointed OSError (or, with no toolchain to build
+    the parser either, an ImportError explaining the fix)."""
     try:
         import lmdb  # noqa: F401
 
@@ -186,6 +188,11 @@ def test_lmdb_gate_message():
     except ImportError:
         pass
     from damc_tpu.data.datasets import _open_lmdb_env
+    from damc_tpu.data.native_lmdb import native_lmdb_available
 
-    with pytest.raises(ImportError, match="lmdb"):
-        _open_lmdb_env("/nonexistent")
+    if native_lmdb_available():
+        with pytest.raises(OSError, match="LMDB"):
+            _open_lmdb_env("/nonexistent")
+    else:
+        with pytest.raises(ImportError, match="lmdb"):
+            _open_lmdb_env("/nonexistent")
