@@ -33,9 +33,11 @@
 //   int64_t  damc_lmdb_keys_fill(void* env, uint8_t* blob, uint32_t* lens)
 //   void     damc_lmdb_close(void* env)
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -71,8 +73,11 @@ struct Env {
   uint64_t entries = 0;
   uint64_t root = kInvalidPgno;
   std::string err;
-  // key-scan cache
-  bool keys_cached = false;
+  // ctypes releases the GIL around foreign calls, so concurrent reads are
+  // real: the scan cache is built once under a mutex, and the (error-path
+  // only) err string is written under the same lock.
+  std::mutex mu;
+  std::atomic<bool> keys_cached{false};
   std::string key_blob;
   std::vector<uint32_t> key_lens;
 
@@ -82,6 +87,7 @@ struct Env {
   }
 
   bool fail(const std::string& m) {
+    std::lock_guard<std::mutex> lk(mu);
     err = m;
     return false;
   }
@@ -253,7 +259,9 @@ struct Env {
 
   // In-order key scan (caches blob + lengths on the handle).
   bool scan_keys() {
-    if (keys_cached) return true;
+    if (keys_cached.load(std::memory_order_acquire)) return true;
+    std::lock_guard<std::mutex> lk(scan_mu);
+    if (keys_cached.load(std::memory_order_acquire)) return true;
     key_blob.clear();
     key_lens.clear();
     if (root != kInvalidPgno && !walk(root, 0)) return false;
@@ -262,9 +270,10 @@ struct Env {
     if (key_lens.size() != entries)
       return fail("scanned key count " + std::to_string(key_lens.size()) +
                   " != meta entries " + std::to_string(entries));
-    keys_cached = true;
+    keys_cached.store(true, std::memory_order_release);
     return true;
   }
+  std::mutex scan_mu;
 
   bool walk(uint64_t pgno, int level) {
     if (level > 64) return fail("B+tree too deep (cycle?)");

@@ -1,4 +1,4 @@
-"""Full-size CIFAR-10 gen_recon driver validation on TPU (synthetic data).
+"""Full-size gen_recon driver validation on TPU (synthetic data).
 
 Exercises the complete training driver at reference hyperparameters — fused
 train step, bs=500 FID generation (both priors), recon MSE, plot grids,
@@ -6,6 +6,7 @@ best-checkpoint gating — for a few hundred iterations on synthetic images.
 Learning signal: the frechet_rand metric and recon MSE must drop.
 
 Usage:  python tools/validate_gen_recon_tpu.py [--iters 301]
+        [--dataset cifar10|svhn|celeba64]   (full reference sizes per preset)
 """
 
 import argparse
@@ -22,6 +23,8 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=301)
+    ap.add_argument("--dataset", default="cifar10",
+                    choices=["cifar10", "svhn", "celeba64"])
     args = ap.parse_args()
 
     import jax
@@ -34,16 +37,17 @@ def main():
     enable_compile_cache()
     assert jax.devices()[0].platform != "cpu", "needs a real TPU"
 
+    cfg = preset(args.dataset)
+    res = cfg.model.image_size
+
     # Synthetic "dataset": smooth random gradients + noise, uint8.
     rng = np.random.RandomState(0)
     n = 4096
-    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 31.0
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / (res - 1.0)
     base = np.stack([yy, xx, yy * xx], axis=-1)[None]
     imgs = base * rng.uniform(0.2, 1.0, (n, 1, 1, 3)).astype(np.float32)
-    imgs = imgs + 0.1 * rng.rand(n, 32, 32, 3).astype(np.float32)
+    imgs = imgs + 0.1 * rng.rand(n, res, res, 3).astype(np.float32)
     imgs = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
-
-    cfg = preset("cifar10")
     import dataclasses
 
     cfg = dataclasses.replace(
@@ -53,7 +57,7 @@ def main():
             print_every=100,
         ),
     )
-    feat = make_random_feature_fn(jax.random.PRNGKey(0), (32, 32, 3))
+    feat = make_random_feature_fn(jax.random.PRNGKey(0), (res, res, 3))
     log_dir = tempfile.mkdtemp(prefix="damc_genrecon_")
     print(f"log_dir {log_dir}; fid_batch_size {cfg.train.fid_batch_size}", flush=True)
 
