@@ -161,6 +161,141 @@ def convert_amortizer(sd: Dict, dataset: str = "cifar10") -> Dict:
     return {"params": params}
 
 
+# --------------------------------------------------------------------------
+# Reverse direction: damc_tpu param trees -> reference torch state dicts
+# --------------------------------------------------------------------------
+#
+# Exact inverses of the mappings above, emitting the reference classes'
+# Sequential key layouts (verified by strict round-trip tests against the
+# real reference modules, tests/test_torch_compat.py):
+#   * generators: ConvTranspose2d at even indices 0,2,..  (`diffusion_net.py:26-47`)
+#   * EBM: Linear at 0,2,4                                 (`:212-220`)
+#   * encoders: (Conv2d, InstanceNorm2d, LeakyReLU) triplets, final Conv2d
+#     at 3k                                                (`:233-262`)
+#   * prior_emb: Linear at 0,2                             (`:577-581`)
+#   * toy MLP encoder: Linear at 0,2,4,6      (`toy_example/.../diffusion_net.py:166-174`)
+
+
+def _t(a) -> np.ndarray:
+    return np.asarray(a, np.float32)
+
+
+def _export_dense(p, sd, prefix):
+    sd[f"{prefix}.weight"] = _t(p["kernel"]).T
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _export_conv(p, sd, prefix):
+    sd[f"{prefix}.weight"] = _t(p["kernel"]).transpose(3, 2, 0, 1)
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _export_conv_transpose(p, sd, prefix):
+    # inverse of _conv_transpose: (kh, kw, in, out) -> flip -> (in, out, kh, kw)
+    k = _t(p["kernel"]).transpose(2, 3, 0, 1)
+    sd[f"{prefix}.weight"] = np.ascontiguousarray(k[:, :, ::-1, ::-1])
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def export_generator(params: Dict) -> Dict[str, np.ndarray]:
+    """DeconvGenerator params -> torch `_netG_*` state_dict arrays."""
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(len(p)):
+        _export_conv_transpose(p[f"ConvTranspose_{i}"], sd, f"gen.{2 * i}")
+    return sd
+
+
+def export_ebm(params: Dict) -> Dict[str, np.ndarray]:
+    """LatentEBM params -> torch `_netE` state_dict arrays."""
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(len(p)):
+        _export_dense(p[f"Dense_{i}"], sd, f"ebm.{2 * i}")
+    return sd
+
+
+def export_conv_encoder(p: Dict, prefix: str = "net") -> Dict[str, np.ndarray]:
+    """ConvEncoder params -> torch `Encoder_*` state_dict arrays."""
+    sd: Dict[str, np.ndarray] = {}
+    n_conv = sum(1 for k in p if k.startswith("Conv_"))
+    n_norm = sum(1 for k in p if k.startswith("GroupNorm_"))
+    for i in range(n_conv):
+        _export_conv(p[f"Conv_{i}"], sd, f"{prefix}.{3 * i}")
+    for i in range(n_norm):
+        sd[f"{prefix}.{3 * i + 1}.weight"] = _t(p[f"GroupNorm_{i}"]["scale"])
+        sd[f"{prefix}.{3 * i + 1}.bias"] = _t(p[f"GroupNorm_{i}"]["bias"])
+    return sd
+
+
+def _export_csl(p, sd, prefix):
+    sd[f"{prefix}._layer_ctx.1.weight"] = _t(p["ctx_kernel"]).T
+    sd[f"{prefix}._layer_ctx.1.bias"] = _t(p["ctx_bias"])
+    _export_dense(p["_gate"], sd, f"{prefix}._hyper_gate")
+    _export_dense(p["_hyper_bias"], sd, f"{prefix}._hyper_bias")
+    _export_dense(p["_lin"], sd, f"{prefix}._layer.0")
+    _export_dense(p["_skip"], sd, f"{prefix}._skip")
+
+
+def export_denoiser(p: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """LatentDenoiser params -> torch `Diffusion_UnetA` state_dict arrays."""
+    pre = prefix + "." if prefix else ""
+    sd: Dict[str, np.ndarray] = {pre + "B": _t(p["fourier_b"])}
+    _export_dense(p["time_d1"], sd, f"{pre}time_mlp.1")
+    _export_dense(p["time_d2"], sd, f"{pre}time_mlp.3")
+    for group, count in (("in_layers", 3), ("mid_layers", 1), ("out_layers", 3)):
+        for i in range(count):
+            _export_csl(p[f"{group}_{i}"], sd, f"{pre}{group}.{i}")
+    return sd
+
+
+def export_amortizer(params: Dict, dataset: str = "cifar10", nxemb: int = 1024) -> Dict[str, np.ndarray]:
+    """DAMCAmortizer params -> torch `_netQ_U` state_dict arrays.
+
+    The reference's unused legacy `xemb` parameter (`diffusion_net.py:576`,
+    dropped on import) is re-emitted as zeros of shape (1, nxemb) so
+    `load_state_dict(strict=True)` succeeds.
+    """
+    p = params["params"]
+    sd = export_denoiser(p["p"], "p")
+    sd["xemb"] = np.zeros((1, nxemb), np.float32)
+    _export_dense(p["prior_emb"]["Dense_0"], sd, "prior_emb.0")
+    _export_dense(p["prior_emb"]["Dense_1"], sd, "prior_emb.2")
+    if dataset == "toy":
+        n = sum(1 for k in p.get("encoder", {}) if k.startswith("Dense_"))
+        for i in range(n):
+            _export_dense(p["encoder"][f"Dense_{i}"], sd, f"encoder.{2 * i}")
+    elif dataset != "stylegan" and "encoder" in p:
+        sd.update(export_conv_encoder(p["encoder"], "encoder.net"))
+    return sd
+
+
+def export_reference_checkpoint(
+    state, path: str, dataset: str = "cifar10", nxemb: int = 1024
+) -> None:
+    """Save a DAMCState as a reference-format `.pth.tar` (torch tensors).
+
+    The output loads into the reference's training/eval scripts
+    (`train_gen_recon.py:163-170` reads {G,Q,Q_dummy,E}_state_dict + iter) —
+    migration works in BOTH directions."""
+    import torch
+
+    as_torch = lambda sd: {
+        k: torch.from_numpy(np.array(v, np.float32, copy=True)) for k, v in sd.items()
+    }
+    ckpt = {
+        "iter": int(state.step),
+        "G_state_dict": as_torch(export_generator(state.params_g)),
+        "E_state_dict": as_torch(export_ebm(state.params_e)),
+        "Q_state_dict": as_torch(export_amortizer(state.params_q, dataset, nxemb)),
+        "Q_dummy_state_dict": as_torch(export_amortizer(state.params_q_ema, dataset, nxemb)),
+    }
+    torch.save(ckpt, path)
+
+
 def convert_reference_checkpoint(path: str, dataset: str = "cifar10") -> Dict:
     """Load a reference `.pth.tar` and convert every model it contains.
 

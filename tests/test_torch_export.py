@@ -1,0 +1,199 @@
+"""Reverse checkpoint migration: damc_tpu -> reference torch state dicts.
+
+Strict round-trips against the REAL reference modules: torch state_dict ->
+convert_* (import) -> export_* must reproduce every key and every value
+bit-exactly, and the exported dict must satisfy `load_state_dict(strict=
+True)` on a freshly constructed reference net — proving a damc_tpu-trained
+model can continue/evaluate inside the reference ecosystem
+(`train_gen_recon.py:163-170` checkpoint format).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/workspace/src"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference oracle not available"
+)
+if os.path.isdir(REF):
+    sys.path.insert(0, os.path.dirname(REF))
+
+from damc_tpu.utils.torch_compat import (  # noqa: E402
+    convert_amortizer,
+    convert_ebm,
+    convert_generator,
+    export_amortizer,
+    export_ebm,
+    export_generator,
+)
+
+
+def _assert_sd_equal(exported, original, skip=()):
+    orig = {k: v for k, v in original.items() if k not in skip}
+    assert set(exported.keys()) | set(skip) == set(original.keys()) | set(skip), (
+        sorted(set(orig) ^ (set(exported) - set(skip)))
+    )
+    for k, v in orig.items():
+        np.testing.assert_array_equal(
+            exported[k], np.asarray(v, np.float32), err_msg=k
+        )
+
+
+GEN_CASES = [
+    ("_netG_cifar10", dict(nz=16, ngf=4, nc=3)),
+    ("_netG_svhn", dict(nz=16, ngf=4, nc=3)),
+    ("_netG_celeba64", dict(nz=16, ngf=4, nc=3)),
+    ("_netG_celebaHQ", dict(nz=16, ngf=4, nc=3)),
+    ("_netG_mnist", dict(nz=16, ngf=4, nc=1)),
+]
+
+
+@pytest.mark.parametrize("cls,kw", GEN_CASES)
+def test_generator_export_roundtrip(cls, kw):
+    import torch
+
+    import src.diffusion_net as dn
+
+    torch.manual_seed(0)
+    ref = getattr(dn, cls)(**kw)
+    sd = ref.state_dict()
+    exported = export_generator(convert_generator(sd))
+    _assert_sd_equal(exported, sd)
+    ref.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in exported.items()}, strict=True
+    )
+
+
+def test_ebm_export_roundtrip():
+    import torch
+
+    import src.diffusion_net as dn
+
+    torch.manual_seed(1)
+    ref = dn._netE(nz=16, ndf=24)
+    sd = ref.state_dict()
+    exported = export_ebm(convert_ebm(sd))
+    _assert_sd_equal(exported, sd)
+    ref.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in exported.items()}, strict=True
+    )
+
+
+def test_amortizer_export_roundtrip_and_strict_load():
+    import torch
+
+    import src.diffusion_net as dn
+
+    torch.manual_seed(2)
+    nxemb = 32
+    ref = dn._netQ_U(
+        nz=16, nxemb=nxemb, ntemb=8, nif=4, dataset="cifar10",
+        diffusion_residual=True, n_interval=4, logsnr_min=-5.1, logsnr_max=9.8,
+        var_type="large", with_noise=True, cond_w=0,
+    )
+    sd = ref.state_dict()
+    exported = export_amortizer(convert_amortizer(sd, "cifar10"), "cifar10", nxemb=nxemb)
+    # `xemb` is the reference's unused legacy parameter: dropped on import,
+    # re-emitted as zeros on export — exempt it from value equality.
+    _assert_sd_equal(exported, sd, skip=("xemb",))
+    assert exported["xemb"].shape == tuple(sd["xemb"].shape)
+    ref.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in exported.items()}, strict=True
+    )
+
+
+def test_full_checkpoint_export_loads_in_reference_format(tmp_path):
+    """DAMCState -> .pth.tar -> reference-style torch.load + strict loads."""
+    import jax
+    import torch
+
+    import src.diffusion_net as dn
+
+    from damc_tpu.train import create_state
+    from damc_tpu.utils import preset
+    from damc_tpu.utils.torch_compat import export_reference_checkpoint
+    import dataclasses
+
+    cfg = preset("cifar10")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, nz=16, ngf=4, nif=4, nxemb=32, ntemb=8),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=4),
+    )
+    state, _, _ = create_state(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "export.pth.tar")
+    export_reference_checkpoint(state, path, "cifar10", nxemb=32)
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    assert ckpt["iter"] == 0
+    for k in ("G_state_dict", "E_state_dict", "Q_state_dict", "Q_dummy_state_dict"):
+        assert k in ckpt
+
+    G = dn._netG_cifar10(nz=16, ngf=4, nc=3)
+    G.load_state_dict(ckpt["G_state_dict"], strict=True)
+    E = dn._netE(nz=16, ndf=200)
+    E.load_state_dict(ckpt["E_state_dict"], strict=True)
+    Q = dn._netQ_U(
+        nz=16, nxemb=32, ntemb=8, nif=4, dataset="cifar10",
+        diffusion_residual=True, n_interval=4, logsnr_min=-5.1, logsnr_max=9.8,
+        var_type="large", with_noise=True, cond_w=0,
+    )
+    Q.load_state_dict(ckpt["Q_state_dict"], strict=True)
+
+    # Forward parity on the exported weights: reference G vs damc_tpu G.
+    import jax.numpy as jnp
+
+    from damc_tpu.models import make_generator
+
+    z = np.random.RandomState(0).randn(2, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = G(torch.from_numpy(z)).numpy().transpose(0, 2, 3, 1)
+    mine = make_generator("cifar10", ngf=4, nc=3)
+    out = np.asarray(mine.apply(state.params_g, jnp.asarray(z)))
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_export_cli_roundtrip_with_convert_cli(tmp_path):
+    """Orbax ckpt --export--> .pth.tar --convert--> Orbax: params identical."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from damc_tpu.cli import convert_checkpoint, export_checkpoint
+    from damc_tpu.train import create_state
+    from damc_tpu.utils import preset
+    from damc_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = preset("mnist_anomaly")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, nz=8, ngf=4, nif=4, nxemb=16, ntemb=8),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=3),
+    )
+    state, _, _ = create_state(jax.random.PRNGKey(3), cfg)
+    state = state.replace(step=jnp.int32(42))
+    save_checkpoint(str(tmp_path / "ckpt"), "42", state)
+
+    pth = str(tmp_path / "export.pth.tar")
+    # preset('mnist') must be overridden the same way on both CLI legs; call
+    # the export/convert internals the CLIs wrap, with the tiny cfg.
+    from damc_tpu.utils.torch_compat import (
+        convert_reference_checkpoint,
+        export_reference_checkpoint,
+    )
+
+    export_reference_checkpoint(state, pth, "mnist_anomaly", nxemb=16)
+    back = convert_reference_checkpoint(pth, "mnist_anomaly")
+    assert back["iter"] == 42
+    for field in ("params_g", "params_e", "params_q", "params_q_ema"):
+        orig = jax.tree.leaves(getattr(state, field))
+        conv = jax.tree.leaves(back[field])
+        assert len(orig) == len(conv)
+        for a, b in zip(orig, conv):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # CLI entry points import cleanly and expose main().
+    assert callable(convert_checkpoint.main) and callable(export_checkpoint.main)
