@@ -33,6 +33,8 @@ Secondary fields (same JSON line):
     (bf16 compute_dtype measured: +4%; batch 256/512: +0-6%).
   * `langevin_kernel_single_call_*` — the same kernel as a standalone
     dispatch (600 steps amortize the tunnel's per-call overhead).
+  * `reverse_sweep_denoiser_evals_per_sec` — the deployed 100-step
+    amortized DAMC sampler (fused Pallas kernel on TPU).
 
 All timings use a true device fence (`force_sync`): `block_until_ready`
 alone can return early on this platform.
@@ -123,6 +125,21 @@ def bench_kernel_single_call(models, state, cfg) -> float:
     return z.shape[0] * 600 / dt
 
 
+def bench_reverse_sweep(models, state, cfg, B=128) -> float:
+    """The deployed 100-step amortized sampler (fused Pallas kernel on TPU,
+    ops/pallas/fused_qsweep.py) — denoiser evals/sec."""
+    x = jax.random.uniform(
+        jax.random.PRNGKey(7), (B, 32, 32, 3), minval=-1.0, maxval=1.0
+    )
+
+    @jax.jit
+    def run(params_q, xx, key):
+        return sample_q(params_q, models.amortizer, key, x=xx)
+
+    dt = timed(run, (state.params_q, x, jax.random.PRNGKey(8)), iters=20)
+    return B * cfg.diffusion.n_interval / dt
+
+
 def bench_sampling_phase(models, state, cfg, B=128) -> float:
     """Full gen_recon sampling phase (Q sweep + posterior + prior) in one jit."""
     mc = cfg.mcmc
@@ -166,6 +183,7 @@ def main():
 
     kernel_deployed = bench_kernel_as_deployed(models, state, cfg)
     kernel_single = bench_kernel_single_call(models, state, cfg)
+    sweep = bench_reverse_sweep(models, state, cfg)
     phase = bench_sampling_phase(models, state, cfg)
 
     print(
@@ -184,6 +202,7 @@ def main():
                 "config": f"{TRAIN_CHAINS} chains x {TRAIN_STEPS} steps x {ROUNDS} rounds/program",
                 "backend": jax.default_backend(),
                 "langevin_kernel_single_call_chain_steps_per_sec": round(kernel_single, 1),
+                "reverse_sweep_denoiser_evals_per_sec": round(sweep, 1),
                 "sampling_phase_chain_steps_per_sec": round(phase, 1),
                 "sampling_phase_vs_baseline": round(
                     phase / A6000_PHASE_CHAIN_STEPS_PER_SEC, 2

@@ -108,7 +108,7 @@ struct Env {
     fd = ::open(file.c_str(), O_RDONLY);
     if (fd < 0) return fail("cannot open " + file);
     file_size = (size_t)st.st_size;
-    if (file_size < 2 * 4096) return fail("file too small for two meta pages: " + file);
+    if (file_size < 2 * 512) return fail("file too small for two meta pages: " + file);
     void* m = mmap(nullptr, file_size, PROT_READ, MAP_SHARED, fd, 0);
     if (m == MAP_FAILED) return fail("mmap failed: " + file);
     map = (const uint8_t*)m;
@@ -187,6 +187,7 @@ struct Env {
         const uint8_t* nd = node(p, mid, &ok);
         if (!ok) return nullptr;
         uint16_t ks = rd<uint16_t>(nd + 6);
+        if ((size_t)(nd - p) + 8 + ks > psize) return nullptr;
         if (cmp(nd + 8, ks, key, klen) <= 0) {
           best = mid;
           lo = mid + 1;
@@ -222,6 +223,10 @@ struct Env {
       const uint8_t* nd = node(leaf, mid, &ok);
       if (!ok) return -1;
       uint16_t ks = rd<uint16_t>(nd + 6);
+      if ((size_t)(nd - leaf) + 8 + ks > psize) {
+        err = "leaf node key exceeds page";
+        return -1;
+      }
       int c = cmp(nd + 8, ks, key, klen);
       if (c == 0) return read_value(nd, val, vlen) ? 1 : -1;
       if (c < 0)

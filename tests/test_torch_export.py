@@ -105,6 +105,28 @@ def test_amortizer_export_roundtrip_and_strict_load():
     )
 
 
+@pytest.mark.parametrize("enc_cls", [
+    "Encoder_cifar10", "Encoder_celeba64", "Encoder_celebaHQ", "Encoder_mnist",
+])
+def test_encoder_export_roundtrip_all_variants(enc_cls):
+    """Every encoder family uses the conv@3i / norm@3i+1 Sequential layout
+    the exporter emits (`diffusion_net.py:227-413`)."""
+    import torch
+
+    import src.diffusion_net as dn
+
+    from damc_tpu.utils.torch_compat import convert_conv_encoder, export_conv_encoder
+
+    torch.manual_seed(3)
+    ref = getattr(dn, enc_cls)(nemb=16, nif=4)
+    sd = ref.state_dict()
+    exported = export_conv_encoder(convert_conv_encoder(sd, "net")["params"], "net")
+    _assert_sd_equal(exported, sd)
+    ref.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in exported.items()}, strict=True
+    )
+
+
 def test_full_checkpoint_export_loads_in_reference_format(tmp_path):
     """DAMCState -> .pth.tar -> reference-style torch.load + strict loads."""
     import jax
