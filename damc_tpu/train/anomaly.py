@@ -19,6 +19,7 @@ from ..metrics.prauc import auprc
 from ..parallel import batch_sharding, make_mesh, replicate, replicated
 from ..utils.config import Config
 from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.preemption import graceful_shutdown
 from ..utils.logging import MetricsLogger
 from . import sampling
 from .state import DAMCState, ModelBundle, create_state
@@ -87,13 +88,19 @@ def train_anomaly(
     k_init, k_eval = jax.random.split(key)
     state, models, opts = create_state(k_init, cfg)
     start_iter = 0
-    if tc.resume_path:
+    resume_path = tc.resume_path
+    if resume_path == "auto":
+        from ..utils.checkpoint import latest_step
+
+        step_no = latest_step(ckpt_dir) if ckpt_dir else None
+        resume_path = os.path.join(ckpt_dir, str(step_no)) if step_no is not None else None
+    if resume_path:
         import os.path as osp
 
-        directory, name = osp.split(tc.resume_path.rstrip("/"))
+        directory, name = osp.split(resume_path.rstrip("/"))
         state = restore_checkpoint(directory, name, state)
         start_iter = int(state.step)
-        print(f"[damc] resumed from {tc.resume_path} at iteration {start_iter}")
+        print(f"[damc] resumed from {resume_path} at iteration {start_iter}")
 
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     if mesh is not None:
@@ -118,24 +125,32 @@ def train_anomaly(
     stream = loader.stream()
 
     auc_best = 0.0
-    for it in range(start_iter, iterations):
-        x_np, _ = next(stream)
-        x = jax.device_put(
-            x_np, batch_sharding(mesh) if mesh is not None else None
-        )
-        state, metrics = step(state, x)
-
-        if tc.print_every > 0 and it % tc.print_every == 0:
-            logger.log(it, metrics)
-        if tc.eval_every > 0 and it % tc.eval_every == 0 and test_images is not None:
-            score = evaluate_auprc(
-                jax.random.fold_in(k_eval, it),
-                state, models, cfg, test_images, test_labels,
-            )
-            if score > auc_best:
-                auc_best = score
+    # Preemption-safe loop (see train/gen_recon.py / utils/preemption.py).
+    with graceful_shutdown() as shutdown:
+        for it in range(start_iter, iterations):
+            if shutdown:
                 if ckpt_dir:
-                    save_checkpoint(ckpt_dir, "best", state)
-            logger.log(it, {"auprc": score, "auprc_best": auc_best}, prefix="eval")
+                    jax.block_until_ready(state)
+                    path = save_checkpoint(ckpt_dir, str(it), state)
+                    print(f"[damc] signal {shutdown.signum}: checkpointed to {path}; exiting")
+                break
+            x_np, _ = next(stream)
+            x = jax.device_put(
+                x_np, batch_sharding(mesh) if mesh is not None else None
+            )
+            state, metrics = step(state, x)
+
+            if tc.print_every > 0 and it % tc.print_every == 0:
+                logger.log(it, metrics)
+            if tc.eval_every > 0 and it % tc.eval_every == 0 and test_images is not None:
+                score = evaluate_auprc(
+                    jax.random.fold_in(k_eval, it),
+                    state, models, cfg, test_images, test_labels,
+                )
+                if score > auc_best:
+                    auc_best = score
+                    if ckpt_dir:
+                        save_checkpoint(ckpt_dir, "best", state)
+                logger.log(it, {"auprc": score, "auprc_best": auc_best}, prefix="eval")
 
     return state, auc_best

@@ -21,6 +21,7 @@ from ..metrics.fid import compute_stats, fid_from_samples
 from ..parallel import batch_sharding, make_mesh, replicate, replicated
 from ..utils.config import Config
 from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.preemption import graceful_shutdown
 from ..utils.logging import MetricsLogger, save_image_grid
 from ..utils.profiling import StepTimer
 from . import sampling
@@ -130,16 +131,24 @@ def train_gen_recon(
     state, models, opts = create_state(k_init, cfg)
 
     start_iter = 0
-    if tc.resume_path:
+    resume_path = tc.resume_path
+    if resume_path == "auto":
+        # Preemption recovery: continue from the newest checkpoint of THIS
+        # run dir (fresh start when none exists yet).
+        from ..utils.checkpoint import latest_step
+
+        step_no = latest_step(ckpt_dir) if ckpt_dir else None
+        resume_path = os.path.join(ckpt_dir, str(step_no)) if step_no is not None else None
+    if resume_path:
         # Exact resume: the full pytree (incl. EBM, EMA params, optimizer
         # states, PRNG) restores — fixing the reference's partial-resume bug
         # (`train_gen_recon.py:163-170` drops E/E_opt/Q_dummy).
         import os.path as osp
 
-        directory, name = osp.split(tc.resume_path.rstrip("/"))
+        directory, name = osp.split(resume_path.rstrip("/"))
         state = restore_checkpoint(directory, name, state)
         start_iter = int(state.step)
-        print(f"[damc] resumed from {tc.resume_path} at iteration {start_iter}")
+        print(f"[damc] resumed from {resume_path} at iteration {start_iter}")
 
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     if mesh is not None:
@@ -202,69 +211,79 @@ def train_gen_recon(
         lambda st, k, nb: sampling.gen_samples_damc_prior(k, st, models, cfg, nb),
         static_argnums=2,
     )
-    for it in range(start_iter, iterations):
-        with timer.phase("data"):
-            x_np, _ = next(stream)
-            x = jax.device_put(
-                x_np, batch_sharding(mesh) if mesh is not None else None
-            )
-        with timer.phase("train_step"):
-            state, metrics = step(state, x)
-
-        if tc.print_every > 0 and it % tc.print_every == 0:
-            jax.block_until_ready(metrics)
-            host_metrics = {k: float(v) for k, v in metrics.items()}
-            # Failure detection (the reference trains blind; SURVEY.md §5):
-            # a NaN in any loss means the run is dead — fail loudly with
-            # context instead of burning TPU hours.
-            bad = [k for k, v in host_metrics.items() if not np.isfinite(v)]
-            if bad:
-                raise FloatingPointError(
-                    f"non-finite training metrics {bad} at iteration {it}; "
-                    f"last metrics: {host_metrics}"
+    # Preemption-safe loop: SIGTERM/SIGINT checkpoints and returns
+    # cleanly; `--resume_path auto` continues from the newest checkpoint.
+    with graceful_shutdown() as shutdown:
+        for it in range(start_iter, iterations):
+            if shutdown and ckpt_dir:
+                jax.block_until_ready(state)
+                path = save_checkpoint(ckpt_dir, str(it), state)
+                print(f"[damc] signal {shutdown.signum}: checkpointed to {path}; exiting")
+                break
+            elif shutdown:
+                break
+            with timer.phase("data"):
+                x_np, _ = next(stream)
+                x = jax.device_put(
+                    x_np, batch_sharding(mesh) if mesh is not None else None
                 )
-            logger.log(it, {**host_metrics, **timer.report()})
-        if img_dir and tc.plot_every > 0 and it % tc.plot_every == 0:
-            # Grid dumps mirroring `train_gen_recon.py:267-280`: observations,
-            # posterior recon (Q init + Langevin), Q-only recon, prior samples.
-            k_plot = jax.random.fold_in(k_eval, it)
-            n_show = min(64, tc.batch_size)
-            save_image_grid(np.asarray(x[:n_show]), f"{img_dir}/{it}_obs.png")
-            x_hat, _ = plot_recon_fn(state, k_plot, x[:n_show])
-            save_image_grid(np.asarray(x_hat), f"{img_dir}/{it}_post.png")
-            zq = plot_q_fn(state, jax.random.fold_in(k_plot, 1), x[:n_show])
-            x_hat_q = models.generator.apply(state.params_g, zq)
-            save_image_grid(np.asarray(x_hat_q), f"{img_dir}/{it}_post_Q.png")
-            x_prior, _ = plot_prior_fn(state, jax.random.fold_in(k_plot, 2), n_show)
-            save_image_grid(np.asarray(x_prior), f"{img_dir}/{it}_prior.png")
-        if ckpt_dir and tc.ckpt_every > 0 and it > 0 and it % tc.ckpt_every == 0:
-            save_checkpoint(ckpt_dir, str(it), state)
+            with timer.phase("train_step"):
+                state, metrics = step(state, x)
 
-        if tc.eval_every > 0 and it % tc.eval_every == 0 and feature_fn is not None and real_mu is not None:
-            eval_metrics: Dict[str, float] = {}
-            name = fid_metric_name
-            eval_metrics[f"{name}_damc"] = evaluate_fid(
-                jax.random.fold_in(k_eval, 2 * it),
-                state, models, cfg, feature_fn, real_mu, real_sigma,
-                tc.n_fid_samples, fid_bs, prior="damc", mesh=mesh, batch_fn=fid_damc_fn,
-            )
-            eval_metrics[f"{name}_ebm"] = evaluate_fid(
-                jax.random.fold_in(k_eval, 2 * it + 1),
-                state, models, cfg, feature_fn, real_mu, real_sigma,
-                tc.n_fid_samples, fid_bs, prior="ebm", mesh=mesh, batch_fn=fid_ebm_fn,
-            )
-            if mse_images is not None:
-                eval_metrics["recon_mse"] = evaluate_mse(
-                    jax.random.fold_in(k_eval, it),
-                    state, models, cfg, mse_images, tc.batch_size,
-                    recon_fn=recon_fn,
+            if tc.print_every > 0 and it % tc.print_every == 0:
+                jax.block_until_ready(metrics)
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                # Failure detection (the reference trains blind; SURVEY.md §5):
+                # a NaN in any loss means the run is dead — fail loudly with
+                # context instead of burning TPU hours.
+                bad = [k for k, v in host_metrics.items() if not np.isfinite(v)]
+                if bad:
+                    raise FloatingPointError(
+                        f"non-finite training metrics {bad} at iteration {it}; "
+                        f"last metrics: {host_metrics}"
+                    )
+                logger.log(it, {**host_metrics, **timer.report()})
+            if img_dir and tc.plot_every > 0 and it % tc.plot_every == 0:
+                # Grid dumps mirroring `train_gen_recon.py:267-280`: observations,
+                # posterior recon (Q init + Langevin), Q-only recon, prior samples.
+                k_plot = jax.random.fold_in(k_eval, it)
+                n_show = min(64, tc.batch_size)
+                save_image_grid(np.asarray(x[:n_show]), f"{img_dir}/{it}_obs.png")
+                x_hat, _ = plot_recon_fn(state, k_plot, x[:n_show])
+                save_image_grid(np.asarray(x_hat), f"{img_dir}/{it}_post.png")
+                zq = plot_q_fn(state, jax.random.fold_in(k_plot, 1), x[:n_show])
+                x_hat_q = models.generator.apply(state.params_g, zq)
+                save_image_grid(np.asarray(x_hat_q), f"{img_dir}/{it}_post_Q.png")
+                x_prior, _ = plot_prior_fn(state, jax.random.fold_in(k_plot, 2), n_show)
+                save_image_grid(np.asarray(x_prior), f"{img_dir}/{it}_prior.png")
+            if ckpt_dir and tc.ckpt_every > 0 and it > 0 and it % tc.ckpt_every == 0:
+                save_checkpoint(ckpt_dir, str(it), state)
+
+            if tc.eval_every > 0 and it % tc.eval_every == 0 and feature_fn is not None and real_mu is not None:
+                eval_metrics: Dict[str, float] = {}
+                name = fid_metric_name
+                eval_metrics[f"{name}_damc"] = evaluate_fid(
+                    jax.random.fold_in(k_eval, 2 * it),
+                    state, models, cfg, feature_fn, real_mu, real_sigma,
+                    tc.n_fid_samples, fid_bs, prior="damc", mesh=mesh, batch_fn=fid_damc_fn,
                 )
-                mse_best = min(mse_best, eval_metrics["recon_mse"])
-            if eval_metrics[f"{name}_damc"] < fid_best:
-                fid_best = eval_metrics[f"{name}_damc"]
-                if ckpt_dir:
-                    save_checkpoint(ckpt_dir, "best", state)
-            eval_metrics[f"{name}_best"] = fid_best
-            logger.log(it, eval_metrics, prefix="eval")
+                eval_metrics[f"{name}_ebm"] = evaluate_fid(
+                    jax.random.fold_in(k_eval, 2 * it + 1),
+                    state, models, cfg, feature_fn, real_mu, real_sigma,
+                    tc.n_fid_samples, fid_bs, prior="ebm", mesh=mesh, batch_fn=fid_ebm_fn,
+                )
+                if mse_images is not None:
+                    eval_metrics["recon_mse"] = evaluate_mse(
+                        jax.random.fold_in(k_eval, it),
+                        state, models, cfg, mse_images, tc.batch_size,
+                        recon_fn=recon_fn,
+                    )
+                    mse_best = min(mse_best, eval_metrics["recon_mse"])
+                if eval_metrics[f"{name}_damc"] < fid_best:
+                    fid_best = eval_metrics[f"{name}_damc"]
+                    if ckpt_dir:
+                        save_checkpoint(ckpt_dir, "best", state)
+                eval_metrics[f"{name}_best"] = fid_best
+                logger.log(it, eval_metrics, prefix="eval")
 
     return state
