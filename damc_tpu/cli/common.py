@@ -56,7 +56,11 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataset", type=str, default="cifar10")
     p.add_argument("--log_path", type=str, default="logs")
     p.add_argument("--data_path", type=str, default="data")
-    p.add_argument("--resume_path", type=str, default=None)
+    p.add_argument(
+        "--resume_path", type=str, default=None,
+        help="checkpoint to resume from, or 'auto' to continue from the "
+        "newest checkpoint in the run dir (preemption recovery)",
+    )
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--n_fid_samples", type=int, default=None)
