@@ -83,6 +83,8 @@ class NativeLoader:
     Bernoulli(0.5) when `augment_flip`.
     """
 
+    native_prefetch = True  # worker pool already overlaps batch assembly
+
     def __init__(
         self,
         images: np.ndarray,
@@ -160,11 +162,17 @@ def make_loader(
     seed: int = 0,
     prefer_native: bool = True,
 ):
-    """Best loader for the environment: native C++ engine for uint8 stores,
-    NumPy `Loader` otherwise."""
+    """Best loader for the environment: native C++ engine for uint8 ndarray
+    stores, NumPy `Loader` otherwise (float arrays, lazy batch-indexable
+    datasets like LSUNImages)."""
     from .datasets import Loader
 
-    if prefer_native and images.dtype == np.uint8 and native_loader_available():
+    if (
+        prefer_native
+        and getattr(images, "dtype", None) == np.uint8
+        and isinstance(images, np.ndarray)
+        and native_loader_available()
+    ):
         try:
             return NativeLoader(
                 images, batch_size, shuffle, drop_last, augment_flip, seed

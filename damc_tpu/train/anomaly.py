@@ -123,6 +123,12 @@ def train_anomaly(
         seed=seed,
     )
     stream = loader.stream()
+    if not getattr(loader, "native_prefetch", False):
+        # NumPy/lazy-dataset path: decode the next batch on a background
+        # thread while the device runs the current step.
+        from ..data.prefetch import Prefetcher
+
+        stream = Prefetcher(stream, depth=2)
 
     auc_best = 0.0
     # Preemption-safe loop (see train/gen_recon.py / utils/preemption.py).
@@ -153,4 +159,6 @@ def train_anomaly(
                         save_checkpoint(ckpt_dir, "best", state)
                 logger.log(it, {"auprc": score, "auprc_best": auc_best}, prefix="eval")
 
+    if hasattr(stream, "close"):
+        stream.close()
     return state, auc_best

@@ -181,6 +181,12 @@ def train_gen_recon(
         seed=seed,
     )
     stream = loader.stream()
+    if not getattr(loader, "native_prefetch", False):
+        # NumPy/lazy-dataset path: decode the next batch on a background
+        # thread while the device runs the current step.
+        from ..data.prefetch import Prefetcher
+
+        stream = Prefetcher(stream, depth=2)
 
     fid_best = mse_best = float("inf")
     timer = StepTimer()
@@ -286,4 +292,6 @@ def train_gen_recon(
                 eval_metrics[f"{name}_best"] = fid_best
                 logger.log(it, eval_metrics, prefix="eval")
 
+    if hasattr(stream, "close"):
+        stream.close()
     return state
