@@ -26,6 +26,16 @@ from .state import DAMCState, ModelBundle, create_state
 from .step import make_train_step
 
 
+def make_score_fn(models, cfg, langevin_steps: int = 10):
+    """Jitted fn(state, key, x) -> anomaly scores (state as argument so the
+    compiled program is shared across evals)."""
+    return jax.jit(
+        lambda st, k, x: sampling.anomaly_scores(
+            k, st, models, cfg, x, langevin_steps=langevin_steps
+        )
+    )
+
+
 def evaluate_auprc(
     key: jax.Array,
     state: DAMCState,
@@ -35,17 +45,17 @@ def evaluate_auprc(
     test_labels: np.ndarray,
     batch: int = 500,
     langevin_steps: int = 10,
+    score_fn=None,
 ) -> float:
     """Anomaly AUPRC sweep (`train_anomaly_det.py:206-248`): score =
     ||x_hat - x||^2 + E(z) + 0.5||z||^2 after Q init + noiseless Langevin;
     labels are 1 = anomalous."""
     # State is an argument (closure captures embed params as program
     # literals and force a retrace per eval — see stylegan_inv.py note).
-    score_fn = jax.jit(
-        lambda st, k, x: sampling.anomaly_scores(
-            k, st, models, cfg, x, langevin_steps=langevin_steps
-        )
-    )
+    # Pass `score_fn` (built once via make_score_fn) from training loops so
+    # repeated evals reuse ONE compiled program instead of re-tracing a
+    # fresh jit per call.
+    score_fn = score_fn or make_score_fn(models, cfg, langevin_steps)
     scores, labels = [], []
     n = len(test_images)
     for i in range(0, n, batch):
@@ -131,6 +141,7 @@ def train_anomaly(
         stream = Prefetcher(stream, depth=2)
 
     auc_best = 0.0
+    eval_score_fn = make_score_fn(models, cfg)
     # Preemption-safe loop (see train/gen_recon.py / utils/preemption.py).
     with graceful_shutdown() as shutdown:
         for it in range(start_iter, iterations):
@@ -152,6 +163,7 @@ def train_anomaly(
                 score = evaluate_auprc(
                     jax.random.fold_in(k_eval, it),
                     state, models, cfg, test_images, test_labels,
+                    score_fn=eval_score_fn,
                 )
                 if score > auc_best:
                     auc_best = score
