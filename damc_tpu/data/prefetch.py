@@ -84,3 +84,12 @@ class Prefetcher:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+    def __del__(self):
+        # Drivers close() on normal return; this stops the producer thread
+        # when an exception path skips it (it only spins on a 0.1 s timer,
+        # but there is no reason to leave it running).
+        try:
+            self.close()
+        except Exception:
+            pass
