@@ -57,6 +57,47 @@ def test_close_stops_blocked_producer_thread():
     assert len(produced) < 10
 
 
+def test_driver_runs_with_lazy_dataset_through_prefetcher(tmp_path):
+    """A lazy batch-indexable dataset (the LSUN/image-folder shape) routes
+    through the NumPy Loader + Prefetcher inside train_gen_recon."""
+    import dataclasses
+
+    import jax
+
+    from damc_tpu.train.gen_recon import train_gen_recon
+    from damc_tpu.utils import preset
+
+    class LazyImages:
+        """Batch-indexable view without ndarray dtype (decodes on access)."""
+
+        def __init__(self, n):
+            self._rng = np.random.RandomState(0)
+            self._base = (self._rng.rand(n, 32, 32, 3) * 255).astype(np.uint8)
+
+        def __len__(self):
+            return len(self._base)
+
+        def __getitem__(self, idx):
+            return self._base[idx]
+
+    cfg = preset("cifar10")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, nz=8, ngf=4, nif=4, nxemb=16, ntemb=8),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=2),
+        mcmc=dataclasses.replace(cfg.mcmc, g_l_steps=2, e_l_steps=2),
+        train=dataclasses.replace(
+            cfg.train, batch_size=8, q_updates=1, print_every=1,
+            plot_every=0, ckpt_every=0, eval_every=0,
+        ),
+    )
+    state = train_gen_recon(
+        cfg, LazyImages(40), iterations=3, log_dir=str(tmp_path), seed=0
+    )
+    assert int(state.step) == 3
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
 def test_overlap_actually_happens():
     """With a slow producer and slow consumer, wall time approaches
     max(producer, consumer) rather than their sum."""
