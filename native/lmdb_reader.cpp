@@ -93,7 +93,10 @@ struct Env {
   }
 
   const uint8_t* page(uint64_t pgno) {
-    if (pgno == kInvalidPgno || (pgno + 1) * (uint64_t)psize > file_size) return nullptr;
+    // Division-based bound: (pgno + 1) * psize can wrap uint64 for corrupt
+    // 48-bit pgnos (branch nodes encode up to 2^48), defeating a
+    // multiplication check.
+    if (pgno == kInvalidPgno || psize == 0 || pgno >= file_size / psize) return nullptr;
     return map + pgno * psize;
   }
 
@@ -250,7 +253,9 @@ struct Env {
       if (!op) return fail("overflow page out of range");
       if (!(rd<uint16_t>(op + 10) & P_OVERFLOW)) return fail("expected overflow page");
       uint32_t npages = rd<uint32_t>(op + 12);
-      if ((ovpg + npages) * (uint64_t)psize > file_size || dsize > (uint64_t)npages * psize - kPageHdr)
+      uint64_t total_pages = file_size / psize;
+      if (npages == 0 || ovpg >= total_pages || npages > total_pages - ovpg ||
+          dsize > (uint64_t)npages * psize - kPageHdr)
         return fail("overflow run exceeds file");
       *val = op + kPageHdr;
       *vlen = dsize;

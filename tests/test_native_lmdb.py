@@ -116,6 +116,46 @@ def test_nosubdir_layout_and_empty_db(tmp_path):
         assert list(txn.cursor().iternext(keys=True, values=False)) == []
 
 
+def test_fuzz_corrupted_databases_never_crash(tmp_path):
+    """Random byte corruptions of a valid database must surface as clean
+    Python exceptions (or silently-wrong-but-bounded reads), never as
+    memory errors — exercises every bounds check in the C++ walker. A
+    segfault would abort the test process, so passing is the evidence."""
+    items = _items_small(n=120, seed=11)
+    items[b"big_val"] = np.random.RandomState(12).bytes(2 * PSIZE)
+    base_dir = tmp_path / "base_lmdb"
+    build_lmdb(str(base_dir), items, max_leaf_entries=8, max_branch_entries=4)
+    base = (base_dir / "data.mdb").read_bytes()
+
+    rng = np.random.RandomState(13)
+    probe_keys = list(items.keys())[::7] + [b"big_val", b"absent"]
+    for trial in range(120):
+        data = bytearray(base)
+        for _ in range(int(rng.randint(1, 8))):
+            data[int(rng.randint(0, len(data)))] = int(rng.randint(0, 256))
+        d = tmp_path / f"fuzz_{trial}_lmdb"
+        d.mkdir(exist_ok=True)
+        (d / "data.mdb").write_bytes(bytes(data))
+        try:
+            env = NativeLMDBEnv(str(d))
+        except OSError:
+            continue  # corrupted meta rejected cleanly
+        try:
+            with env.begin() as txn:
+                txn.stat()
+                for k in probe_keys:
+                    try:
+                        txn.get(k)
+                    except OSError:
+                        pass
+                try:
+                    list(txn.cursor().iternext(keys=True, values=False))
+                except OSError:
+                    pass
+        finally:
+            env.close()
+
+
 def test_rejects_garbage_file(tmp_path):
     bad = tmp_path / "bad_lmdb"
     bad.mkdir()
