@@ -53,7 +53,7 @@ def make_fid_batch_fn(models, cfg, batch, prior, mesh=None):
 
 def evaluate_fid(
     key, state, models, cfg, feature_fn, real_mu, real_sigma, n_samples, batch,
-    prior, mesh=None, batch_fn=None,
+    prior, mesh=None, batch_fn=None, grid_path=None,
 ):
     """FID via the DAMC prior (`calculate_fid_with_diffusion_prior`) or the
     EBM-prior Langevin chain (`calculate_fid`), `MCMC.py:130-176`.
@@ -66,7 +66,14 @@ def evaluate_fid(
 
     def batches():
         for i in range(n_batches):
-            yield one_batch(state, jax.random.fold_in(key, i))
+            b = one_batch(state, jax.random.fold_in(key, i))
+            if i == 0 and grid_path:
+                # The reference saves an 8x8 grid of the generated samples
+                # alongside every FID computation (`MCMC.py:136-137`).
+                from ..utils.logging import save_image_grid
+
+                save_image_grid(np.asarray(b[:64]) * 2.0 - 1.0, grid_path)
+            yield b
 
     if mesh is not None:
         from ..metrics.fid import compute_stats_sharded, frechet_distance
@@ -272,11 +279,13 @@ def train_gen_recon(
                     jax.random.fold_in(k_eval, 2 * it),
                     state, models, cfg, feature_fn, real_mu, real_sigma,
                     tc.n_fid_samples, fid_bs, prior="damc", mesh=mesh, batch_fn=fid_damc_fn,
+                    grid_path=f"{img_dir}/{it}_fid_damc.png" if img_dir else None,
                 )
                 eval_metrics[f"{name}_ebm"] = evaluate_fid(
                     jax.random.fold_in(k_eval, 2 * it + 1),
                     state, models, cfg, feature_fn, real_mu, real_sigma,
                     tc.n_fid_samples, fid_bs, prior="ebm", mesh=mesh, batch_fn=fid_ebm_fn,
+                    grid_path=f"{img_dir}/{it}_fid_ebm.png" if img_dir else None,
                 )
                 if mse_images is not None:
                     eval_metrics["recon_mse"] = evaluate_mse(
