@@ -1,0 +1,61 @@
+"""Shared build-and-load helper for the native C++ components.
+
+One implementation of the compile-cache discipline used by the batch
+loader, the JPEG pipeline, and the LMDB parser: g++ -O3 into
+~/.cache/damc, rebuilt when the source is newer, written to a
+PER-PROCESS temp file and atomically renamed (concurrent first-use
+builds from several processes must not interleave output into one
+path), then dlopen'd via ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_CACHE_DIR = os.path.expanduser("~/.cache/damc")
+
+
+def source_path(src_name: str) -> str:
+    return os.path.join(_NATIVE_DIR, src_name)
+
+
+def build_and_load(
+    src_name: str, lib_name: str, extra_flags: Sequence[str] = ()
+) -> Tuple[Optional[ctypes.CDLL], Optional[str]]:
+    """Compile native/<src_name> to ~/.cache/damc/<lib_name> and CDLL it.
+
+    Returns (lib, None) on success, (None, error_message) when the
+    toolchain or link dependencies are unavailable.
+    """
+    src = source_path(src_name)
+    lib_path = os.path.join(_CACHE_DIR, lib_name)
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        if not (
+            os.path.exists(lib_path)
+            and os.path.getmtime(lib_path) >= os.path.getmtime(src)
+        ):
+            tmp = f"{lib_path}.tmp.{os.getpid()}"
+            cmd = [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-o", tmp, src, *extra_flags,
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+                os.replace(tmp, lib_path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        return ctypes.CDLL(lib_path), None
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = ": " + e.stderr.decode(errors="replace")[-300:]
+        return None, f"{e}{detail}"

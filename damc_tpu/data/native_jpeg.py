@@ -15,36 +15,14 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "jpeg_pipeline.cpp",
-)
-_CACHE_DIR = os.path.expanduser("~/.cache/damc")
-_LIB_PATH = os.path.join(_CACHE_DIR, "libjpeg_pipeline.so")
-
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _lib_error: Optional[str] = None
-
-
-def _build() -> str:
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
-        return _LIB_PATH
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-        "-o", _LIB_PATH + ".tmp", _SRC, "-ljpeg",
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
-    return _LIB_PATH
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -52,10 +30,12 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _lib_error is not None:
             return _lib
-        try:
-            lib = ctypes.CDLL(_build())
-        except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
-            _lib_error = str(e)
+        from ._native_build import build_and_load
+
+        lib, _lib_error = build_and_load(
+            "jpeg_pipeline.cpp", "libjpeg_pipeline.so", ["-pthread", "-ljpeg"]
+        )
+        if lib is None:
             return None
         lib.damc_jpeg_decode_batch.restype = ctypes.c_int
         lib.damc_jpeg_decode_batch.argtypes = [

@@ -20,36 +20,14 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Iterator, List, Optional
 
 import numpy as np
 
-_SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "lmdb_reader.cpp",
-)
-_CACHE_DIR = os.path.expanduser("~/.cache/damc")
-_LIB_PATH = os.path.join(_CACHE_DIR, "liblmdb_reader.so")
-
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _lib_error: Optional[str] = None
-
-
-def _build() -> str:
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
-        return _LIB_PATH
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", _LIB_PATH + ".tmp", _SRC,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
-    return _LIB_PATH
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -57,10 +35,10 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _lib_error is not None:
             return _lib
-        try:
-            lib = ctypes.CDLL(_build())
-        except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
-            _lib_error = str(e)
+        from ._native_build import build_and_load
+
+        lib, _lib_error = build_and_load("lmdb_reader.cpp", "liblmdb_reader.so")
+        if lib is None:
             return None
         lib.damc_lmdb_open.restype = ctypes.c_void_p
         lib.damc_lmdb_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t]

@@ -12,36 +12,14 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-_SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "batch_loader.cpp",
-)
-_CACHE_DIR = os.path.expanduser("~/.cache/damc")
-_LIB_PATH = os.path.join(_CACHE_DIR, "libbatch_loader.so")
-
 _lib_lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _lib_error: Optional[str] = None
-
-
-def _build_library() -> str:
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
-        return _LIB_PATH
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-        "-o", _LIB_PATH + ".tmp", _SRC,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
-    return _LIB_PATH
 
 
 def _load_library() -> Optional[ctypes.CDLL]:
@@ -49,10 +27,12 @@ def _load_library() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None or _lib_error is not None:
             return _lib
-        try:
-            lib = ctypes.CDLL(_build_library())
-        except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
-            _lib_error = str(e)
+        from ._native_build import build_and_load
+
+        lib, _lib_error = build_and_load(
+            "batch_loader.cpp", "libbatch_loader.so", ["-pthread"]
+        )
+        if lib is None:
             return None
         lib.damc_loader_create.restype = ctypes.c_void_p
         lib.damc_loader_create.argtypes = [

@@ -9,8 +9,12 @@ small bounded queue so the next batch decodes while the TPU runs the
 current one.
 
 Exceptions from the producer propagate to the consumer on the next
-`__next__`; `close()` (or the context manager) stops the thread promptly
-even when the queue is full.
+`__next__` (and again on every subsequent call — terminal state is
+latched); `close()` (or the context manager, or garbage collection) stops
+the thread promptly even when the queue is full. The producer thread holds
+only the queue/stop-event/iterator — never the Prefetcher itself — so an
+abandoned Prefetcher is collectable and its `__del__` shuts the thread
+down on exception paths that skip `close()`.
 """
 
 from __future__ import annotations
@@ -29,45 +33,53 @@ class _Error:
         self.exc = exc
 
 
+def _put(q: queue.Queue, stop: threading.Event, item) -> bool:
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
+def _fill(q: queue.Queue, stop: threading.Event, it: Iterator) -> None:
+    # Module-level on purpose: a bound method would make the running Thread
+    # keep the Prefetcher reachable, defeating __del__-based cleanup.
+    try:
+        for item in it:
+            if not _put(q, stop, item):
+                return
+        _put(q, stop, _End())
+    except BaseException as e:  # surfaced to the consumer
+        _put(q, stop, _Error(e))
+
+
 class Prefetcher:
     """Wrap an iterable so items are produced on a background thread."""
 
     def __init__(self, iterable: Iterable, depth: int = 2):
         self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._stop = threading.Event()
+        self._terminal = None  # latched _End or _Error
         self._thread = threading.Thread(
-            target=self._fill, args=(iter(iterable),), daemon=True
+            target=_fill, args=(self._queue, self._stop, iter(iterable)), daemon=True
         )
         self._thread.start()
-
-    def _put(self, item) -> bool:
-        while not self._stop.is_set():
-            try:
-                self._queue.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def _fill(self, it: Iterator) -> None:
-        try:
-            for item in it:
-                if not self._put(item):
-                    return
-            self._put(_End())
-        except BaseException as e:  # surfaced to the consumer
-            self._put(_Error(e))
 
     def __iter__(self) -> "Prefetcher":
         return self
 
     def __next__(self):
-        item = self._queue.get()
-        if isinstance(item, _End):
-            raise StopIteration
-        if isinstance(item, _Error):
-            raise item.exc
-        return item
+        if self._terminal is None:
+            item = self._queue.get()
+            if isinstance(item, (_End, _Error)):
+                self._terminal = item
+            else:
+                return item
+        if isinstance(self._terminal, _Error):
+            raise self._terminal.exc
+        raise StopIteration
 
     def close(self) -> None:
         self._stop.set()
@@ -86,9 +98,6 @@ class Prefetcher:
         self.close()
 
     def __del__(self):
-        # Drivers close() on normal return; this stops the producer thread
-        # when an exception path skips it (it only spins on a 0.1 s timer,
-        # but there is no reason to leave it running).
         try:
             self.close()
         except Exception:

@@ -306,16 +306,13 @@ def convert_reference_checkpoint(path: str, dataset: str = "cifar10") -> Dict:
 
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
 
-    def sd(name):
-        return {k: v for k, v in ckpt[name].items()}
-
     out: Dict = {"iter": int(ckpt.get("iter", 0))}
     if "G_state_dict" in ckpt:
-        out["params_g"] = convert_generator(sd("G_state_dict"))
+        out["params_g"] = convert_generator(ckpt["G_state_dict"])
     if "E_state_dict" in ckpt:
-        out["params_e"] = convert_ebm(sd("E_state_dict"))
+        out["params_e"] = convert_ebm(ckpt["E_state_dict"])
     if "Q_state_dict" in ckpt:
-        out["params_q"] = convert_amortizer(sd("Q_state_dict"), dataset)
+        out["params_q"] = convert_amortizer(ckpt["Q_state_dict"], dataset)
     if "Q_dummy_state_dict" in ckpt:
-        out["params_q_ema"] = convert_amortizer(sd("Q_dummy_state_dict"), dataset)
+        out["params_q_ema"] = convert_amortizer(ckpt["Q_dummy_state_dict"], dataset)
     return out

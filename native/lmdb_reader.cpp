@@ -143,6 +143,10 @@ struct Env {
       if (ps < 512 || ps > (1u << 20) || (ps & (ps - 1)))
         return fail("implausible page size in meta: " + std::to_string(ps));
     }
+    // Re-validate after the loop: attempt 1 re-reads ps from the
+    // newer-stride meta and must not accept a corrupt value verbatim.
+    if (ps < 512 || ps > (1u << 20) || (ps & (ps - 1)))
+      return fail("implausible page size in meta: " + std::to_string(ps));
     psize = ps;
     const uint8_t* main_db = best + 72;
     depth = rd<uint16_t>(main_db + 6);
@@ -159,8 +163,11 @@ struct Env {
   }
 
   size_t nkeys(const uint8_t* p) {
+    // Clamp against psize: a corrupt `lower` (up to 0xFFFF) would otherwise
+    // send node() reading ptr-array slots far past the page / mmap end.
     uint16_t lower = rd<uint16_t>(p + 12);
-    return lower < kPageHdr ? 0 : (lower - kPageHdr) >> 1;
+    if (lower < kPageHdr || lower > psize) return 0;
+    return (lower - kPageHdr) >> 1;
   }
 
   const uint8_t* node(const uint8_t* p, size_t i, bool* ok) {
@@ -215,7 +222,7 @@ struct Env {
     const uint8_t* leaf = find_leaf(key, klen);
     if (!leaf) return -1;
     if (rd<uint16_t>(leaf + 10) & P_LEAF2) {
-      err = "LEAF2 (DUPFIXED) pages unsupported";
+      fail("LEAF2 (DUPFIXED) pages unsupported");
       return -1;
     }
     size_t n = nkeys(leaf);
@@ -227,7 +234,7 @@ struct Env {
       if (!ok) return -1;
       uint16_t ks = rd<uint16_t>(nd + 6);
       if ((size_t)(nd - leaf) + 8 + ks > psize) {
-        err = "leaf node key exceeds page";
+        fail("leaf node key exceeds page");
         return -1;
       }
       int c = cmp(nd + 8, ks, key, klen);

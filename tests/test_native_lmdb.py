@@ -156,6 +156,42 @@ def test_fuzz_corrupted_databases_never_crash(tmp_path):
             env.close()
 
 
+def test_corrupt_leaf_lower_field_is_bounded(tmp_path):
+    """Regression for the review finding: a leaf page whose `lower` field is
+    0xFFFF must not send the node-pointer reads past the page/mmap (the
+    scenario randomized fuzzing is unlikely to hit: the LAST page of the
+    file with a maximal lower)."""
+    import struct
+
+    items = _items_small(n=40, seed=21)
+    d = tmp_path / "corrupt_lower_lmdb"
+    build_lmdb(str(d), items, max_leaf_entries=6)
+    path = d / "data.mdb"
+    data = bytearray(path.read_bytes())
+    # Corrupt `lower` (offset 12) of EVERY leaf page (flags==P_LEAF at
+    # offset 10) — including the final page of the file.
+    n_leaves = 0
+    for off in range(0, len(data), PSIZE):
+        if struct.unpack_from("<H", data, off + 10)[0] == 0x02:
+            struct.pack_into("<H", data, off + 12, 0xFFFF)
+            n_leaves += 1
+    assert n_leaves >= 2
+    path.write_bytes(bytes(data))
+
+    env = NativeLMDBEnv(str(d))
+    with env.begin() as txn:
+        for k in list(items)[:10] + [b"absent"]:
+            try:
+                txn.get(k)
+            except OSError:
+                pass
+        try:
+            txn.cursor()
+        except OSError:
+            pass
+    env.close()
+
+
 def test_rejects_garbage_file(tmp_path):
     bad = tmp_path / "bad_lmdb"
     bad.mkdir()

@@ -27,7 +27,7 @@ def test_wraps_loader_stream_identically():
             np.testing.assert_array_equal(ia, ib)
 
 
-def test_producer_exception_propagates():
+def test_producer_exception_propagates_and_latches():
     def gen():
         yield 1
         raise ValueError("boom")
@@ -36,6 +36,41 @@ def test_producer_exception_propagates():
         assert next(pf) == 1
         with pytest.raises(ValueError, match="boom"):
             next(pf)
+        with pytest.raises(ValueError, match="boom"):  # latched, no hang
+            next(pf)
+
+
+def test_exhausted_iterator_latches_stopiteration():
+    pf = Prefetcher(iter([1, 2]), depth=2)
+    assert list(pf) == [1, 2]
+    for _ in range(3):  # repeated next() must re-raise, never block
+        with pytest.raises(StopIteration):
+            next(pf)
+    pf.close()
+
+
+def test_abandoned_prefetcher_is_collectable():
+    """The producer thread must not keep the Prefetcher reachable — an
+    abandoned instance gets garbage-collected and __del__ stops the
+    thread (exception paths in drivers skip close())."""
+    import gc
+    import weakref
+
+    def gen():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    pf = Prefetcher(gen(), depth=1)
+    assert next(pf) == 0
+    thread = pf._thread
+    ref = weakref.ref(pf)
+    del pf
+    gc.collect()
+    assert ref() is None, "producer thread kept the Prefetcher alive"
+    thread.join(timeout=5.0)
+    assert not thread.is_alive()
 
 
 def test_close_stops_blocked_producer_thread():
