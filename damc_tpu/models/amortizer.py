@@ -234,12 +234,9 @@ def sample_q(
         # Precompute the sweep's logsnr grid (same order as the scan:
         # i = n-1 .. 0) and the split context tables.
         n = model.n_interval
-        i_arr = jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
-        from ..ops.diffusion import logsnr_schedule
+        from ..ops.diffusion import sweep_logsnr_grid
 
-        grid = logsnr_schedule(
-            i_arr / (n - 1.0), model.logsnr_min, model.logsnr_max
-        )
+        grid, _ = sweep_logsnr_grid(n, model.logsnr_min, model.logsnr_max)
         tables = model.apply(
             params, grid, xemb, method=lambda m, g, e: m.p.sample_tables(g, e)
         )
@@ -257,8 +254,10 @@ def sample_q(
             jax.tree_util.tree_map(jax.lax.stop_gradient, params)["params"]["p"]
         )
         if fused is None:
+            # The fused kernel is Mosaic-TPU only: never auto-dispatch it on
+            # GPU or other non-TPU backends (no lowering for pltpu ops).
             fused = (
-                jax.default_backend() not in ("cpu",)
+                jax.default_backend() == "tpu"
                 and fits_vmem(fourier, layers, pre_x, step_xs)
             )
         if fused:
@@ -268,11 +267,17 @@ def sample_q(
             seed = jax.random.randint(
                 key_sweep, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
             )
-            return fused_reverse_sweep(
-                z_init, fourier, layers, pre_x, step_xs, coeffs, seed,
-                steps=n, with_noise=model.with_noise,
+            # Match the scan branch's output contract: Q-samples are
+            # DETACHED (stop_gradient on every array input severs the AD
+            # path before pallas_call, which has no autodiff rule) and
+            # honor the requested dtype.
+            sg = jax.lax.stop_gradient
+            out = fused_reverse_sweep(
+                sg(z_init), fourier, layers, sg(pre_x), sg(step_xs),
+                coeffs, seed, steps=n, with_noise=model.with_noise,
                 residual=model.residual, interpret=fused_interpret,
             )
+            return out.astype(dtype)
 
         def denoise_fn(z, logsnr, pre_t_step):
             return model.apply(

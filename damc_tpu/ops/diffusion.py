@@ -169,3 +169,21 @@ def denoise_true(
         var_type="small",
     )
     return dist.mean + dist.std.astype(z.dtype) * jax.random.normal(key, z.shape, z.dtype)
+
+
+def sweep_logsnr_grid(n_interval: int, logsnr_min: float, logsnr_max: float):
+    """(logsnr_t, logsnr_s) arrays for the n-step reverse sweep, in scan
+    order i = n-1 .. 0 (reference `diffusion_net.py:597-600`).
+
+    Single source of truth for the step grid: the scan sampler
+    (`ops/reverse_diffusion.py`), the hoisted context tables
+    (`models/amortizer.py::sample_q`), and the fused kernel's coefficient
+    table (`ops/pallas/fused_qsweep.py::step_coefficients`) must index the
+    SAME grid positionally, so they all call this.
+    """
+    i_arr = jnp.arange(n_interval - 1, -1, -1, dtype=jnp.float32)
+    logsnr_t = logsnr_schedule(i_arr / (n_interval - 1.0), logsnr_min, logsnr_max)
+    logsnr_s = logsnr_schedule(
+        jnp.maximum(i_arr - 1.0, 0.0) / (n_interval - 1.0), logsnr_min, logsnr_max
+    )
+    return logsnr_t, logsnr_s

@@ -178,7 +178,7 @@ def prior_langevin_auto(
     ebm_fn = lambda z: ebm_model.apply(jax.lax.stop_gradient(ebm_params), z)
     p = ebm_params.get("params", {}) if isinstance(ebm_params, dict) else {}
     is_standard_mlp = set(p.keys()) == {"Dense_0", "Dense_1", "Dense_2"}
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
 
     if use_pallas and on_tpu and not is_standard_mlp:
         # Key-set dispatch is deliberate (the kernel hand-codes the 2-hidden

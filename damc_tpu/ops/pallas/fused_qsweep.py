@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..diffusion import diffusion_reverse, logsnr_schedule, pred_x_from_eps
+from ..diffusion import diffusion_reverse, pred_x_from_eps, sweep_logsnr_grid
 from .fused_langevin import _normal_sample
 
 # Per-layer refs, in order: lin_k, lin_b, skip_k, skip_b, gate_k, gate_b,
@@ -68,10 +68,7 @@ def step_coefficients(
     """
     n = n_interval
     i_arr = jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
-    logsnr_t = logsnr_schedule(i_arr / (n - 1.0), logsnr_min, logsnr_max)
-    logsnr_s = logsnr_schedule(
-        jnp.maximum(i_arr - 1.0, 0.0) / (n - 1.0), logsnr_min, logsnr_max
-    )
+    logsnr_t, logsnr_s = sweep_logsnr_grid(n, logsnr_min, logsnr_max)
     one = jnp.ones_like(logsnr_t)
     zero = jnp.zeros_like(logsnr_t)
     # pred_x_from_eps is linear: x_hat = c1 * z - c2 * eps.

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .diffusion import (
+    sweep_logsnr_grid,
     diffusion_reverse,
     logsnr_schedule,
     pred_x_from_eps,
@@ -69,13 +70,10 @@ def reverse_diffusion_sample(
     """
     b = z_init.shape[0]
     n = n_interval
-    # Static per-step schedule tables, scanned over in reverse order.
-    i_arr = jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
-    logsnr_t_arr = logsnr_schedule(i_arr / (n - 1.0), logsnr_min, logsnr_max)
-    logsnr_s_arr = logsnr_schedule(
-        jnp.maximum(i_arr - 1.0, 0.0) / (n - 1.0), logsnr_min, logsnr_max
-    )
-    is_last = i_arr == 0.0
+    # Static per-step schedule tables, scanned over in reverse order
+    # (single source of truth: ops/diffusion.py::sweep_logsnr_grid).
+    logsnr_t_arr, logsnr_s_arr = sweep_logsnr_grid(n, logsnr_min, logsnr_max)
+    is_last = jnp.arange(n - 1, -1, -1, dtype=jnp.float32) == 0.0
 
     use_guidance = guided_denoise_fn is not None and cond_w > 0
 

@@ -50,15 +50,24 @@ class DAMCState:
     opt_q: Any
 
 
-def lr_schedule(lr0: float, cfg: Config) -> Callable[[jax.Array], jax.Array]:
-    """max(lr0 * decay^(step // every), floor) — the reference's x0.99/1000
-    multiplicative decay with a 1e-5 floor (`train_gen_recon.py:247-256`)."""
+def lr_schedule(
+    lr0: float, cfg: Config, updates_per_iter: int = 1
+) -> Callable[[jax.Array], jax.Array]:
+    """max(lr0 * decay^(iter // every), floor) — the reference's x0.99/1000
+    multiplicative decay with a 1e-5 floor (`train_gen_recon.py:247-256`).
+
+    optax drives schedules by the OPTIMIZER's update count; an optimizer
+    stepped `updates_per_iter` times per training iteration (Q runs 6 inner
+    updates, `train_gen_recon.py:211-220`) must divide that out or its lr
+    decays updates_per_iter-times too fast relative to the reference's
+    once-per-1000-ITERATIONS rule. floor((u*i + j)/(u*every)) ==
+    floor(i/every) exactly for 0 <= j < u, so the per-iteration decay
+    boundary is preserved."""
     o = cfg.optim
+    every = o.lr_decay_every * updates_per_iter
 
     def schedule(step):
-        return jnp.maximum(
-            lr0 * o.lr_decay ** (step // o.lr_decay_every), o.lr_floor
-        )
+        return jnp.maximum(lr0 * o.lr_decay ** (step // every), o.lr_floor)
 
     return schedule
 
@@ -73,16 +82,20 @@ def make_optimizers(cfg: Config) -> Optimizers:
             optax.adam(lr_schedule(lr0, cfg), b1=b1, b2=b2),
         )
 
-    def adamw(lr0, max_norm, wd):
+    def adamw(lr0, max_norm, wd, updates_per_iter=1):
         return optax.chain(
             optax.clip_by_global_norm(max_norm),
-            optax.adamw(lr_schedule(lr0, cfg), b1=b1, b2=b2, weight_decay=wd),
+            optax.adamw(
+                lr_schedule(lr0, cfg, updates_per_iter),
+                b1=b1, b2=b2, weight_decay=wd,
+            ),
         )
 
     return Optimizers(
         g=adam(o.g_lr, o.g_max_norm),
         e=adam(o.e_lr, o.e_max_norm),
-        q=adamw(o.q_lr, o.q_max_norm, o.q_weight_decay),
+        q=adamw(o.q_lr, o.q_max_norm, o.q_weight_decay,
+                updates_per_iter=cfg.train.q_updates),
     )
 
 

@@ -42,7 +42,12 @@ class DiffusionConfig:
     var_type: str = "large"
     with_noise: bool = True  # stochastic ancestral steps in Q.sample
     p_mask: float = 0.2  # joint cond/uncond training mask prob
-    cond_w: float = 0.0  # classifier-free guidance weight
+    # Classifier-free guidance weight. NOTE: inert during training/eval for
+    # PARITY with the reference, whose --cond_w flag is itself dead code
+    # (`_netQ_U.forward(x, ..., cond_w=-1)` defaults guidance OFF at every
+    # call site and `self.cond_w` is never read, `diffusion_net.py:585-606`).
+    # Guided sampling is available explicitly via `sample_q(..., cond_w=w)`.
+    cond_w: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -105,3 +105,23 @@ def test_lr_schedule_matches_reference_decay():
     np.testing.assert_allclose(float(sched(1000)), 2e-4 * 0.99, rtol=1e-5)
     np.testing.assert_allclose(float(sched(5500)), 2e-4 * 0.99**5, rtol=1e-5)
     np.testing.assert_allclose(float(sched(10_000_000)), 1e-5, rtol=1e-5)  # floor
+
+
+def test_q_lr_schedule_decays_per_iteration_not_per_inner_update():
+    """Q steps its optimizer q_updates (6) times per training iteration;
+    the reference decays q_lr once per 1000 ITERATIONS
+    (`train_gen_recon.py:247-256`), so Q's schedule must divide the inner
+    count out — otherwise it decays 6x too fast."""
+    cfg = preset("cifar10")
+    u = cfg.train.q_updates
+    assert u == 6
+    sched_q = lr_schedule(2e-4, cfg, updates_per_iter=u)
+    sched_ref = lr_schedule(2e-4, cfg)
+    for iteration in (0, 999, 1000, 5500, 123456):
+        for j in range(u):  # any inner-update offset maps to the same iter
+            np.testing.assert_allclose(
+                float(sched_q(u * iteration + j)),
+                float(sched_ref(iteration)),
+                rtol=1e-6,
+                err_msg=f"iter {iteration} inner {j}",
+            )
