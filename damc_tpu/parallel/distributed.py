@@ -31,11 +31,16 @@ def initialize_distributed(
     """
     # NOTE: do NOT probe jax.process_count()/jax.devices() here — any backend
     # query initializes XLA, after which jax.distributed.initialize refuses
-    # to run. Check the distributed client state directly instead.
-    from jax._src import distributed as _dist
+    # to run. jax.distributed.is_initialized() is the public, equally lazy
+    # check (fall back to the private client state on older jax).
+    if hasattr(jax.distributed, "is_initialized"):
+        if jax.distributed.is_initialized():
+            return
+    else:  # pragma: no cover - older jax
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
     explicit = coordinator_address is not None or num_processes is not None
     try:
         if explicit:

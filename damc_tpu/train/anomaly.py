@@ -16,14 +16,19 @@ import numpy as np
 
 from ..data.native_loader import make_loader
 from ..metrics.prauc import auprc
-from ..parallel import batch_sharding, make_mesh, replicate, replicated
+from ..parallel import batch_sharding, make_mesh
 from ..utils.config import Config
-from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.checkpoint import save_checkpoint
 from ..utils.preemption import graceful_shutdown
 from ..utils.logging import MetricsLogger
 from . import sampling
 from .state import DAMCState, ModelBundle, create_state
-from .step import make_train_step
+from .driver_utils import (
+    make_step_fn,
+    make_stream,
+    preemption_checkpoint,
+    restore_for_resume,
+)
 
 
 def make_score_fn(models, cfg, langevin_steps: int = 10):
@@ -88,6 +93,11 @@ def train_anomaly(
     use_mesh: bool = False,
 ) -> Tuple[DAMCState, float]:
     """Run anomaly training; returns (final state, best AUPRC)."""
+    if (test_images is None) != (test_labels is None):
+        raise ValueError(
+            "test_images and test_labels must be supplied together "
+            "(AUPRC needs both)"
+        )
     tc = cfg.train
     seed = tc.seed if seed is None else seed
     iterations = tc.iterations if iterations is None else iterations
@@ -97,32 +107,9 @@ def train_anomaly(
     key = jax.random.PRNGKey(seed)
     k_init, k_eval = jax.random.split(key)
     state, models, opts = create_state(k_init, cfg)
-    start_iter = 0
-    resume_path = tc.resume_path
-    if resume_path == "auto":
-        from ..utils.checkpoint import latest_step
-
-        step_no = latest_step(ckpt_dir) if ckpt_dir else None
-        resume_path = os.path.join(ckpt_dir, str(step_no)) if step_no is not None else None
-    if resume_path:
-        import os.path as osp
-
-        directory, name = osp.split(resume_path.rstrip("/"))
-        state = restore_checkpoint(directory, name, state)
-        start_iter = int(state.step)
-        print(f"[damc] resumed from {resume_path} at iteration {start_iter}")
-
+    state, start_iter = restore_for_resume(state, tc.resume_path, ckpt_dir)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
-    if mesh is not None:
-        state = replicate(mesh, state)
-        step = jax.jit(
-            make_train_step(models, opts, cfg),
-            in_shardings=(replicated(mesh), batch_sharding(mesh)),
-            out_shardings=(replicated(mesh), replicated(mesh)),
-            donate_argnums=0,
-        )
-    else:
-        step = jax.jit(make_train_step(models, opts, cfg), donate_argnums=0)
+    step, state = make_step_fn(models, opts, cfg, mesh, state)
 
     loader = make_loader(
         train_images,
@@ -132,13 +119,7 @@ def train_anomaly(
         augment_flip=False,  # no flip aug in anomaly (`train_anomaly_det.py:49-56`)
         seed=seed,
     )
-    stream = loader.stream()
-    if not getattr(loader, "native_prefetch", False):
-        # NumPy/lazy-dataset path: decode the next batch on a background
-        # thread while the device runs the current step.
-        from ..data.prefetch import Prefetcher
-
-        stream = Prefetcher(stream, depth=2)
+    stream = make_stream(loader)
 
     auc_best = 0.0
     eval_score_fn = make_score_fn(models, cfg)
@@ -146,10 +127,7 @@ def train_anomaly(
     with graceful_shutdown() as shutdown:
         for it in range(start_iter, iterations):
             if shutdown:
-                if ckpt_dir:
-                    jax.block_until_ready(state)
-                    path = save_checkpoint(ckpt_dir, str(it), state)
-                    print(f"[damc] signal {shutdown.signum}: checkpointed to {path}; exiting")
+                preemption_checkpoint(shutdown, ckpt_dir, it, state)
                 break
             x_np, _ = next(stream)
             x = jax.device_put(

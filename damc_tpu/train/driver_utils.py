@@ -1,0 +1,79 @@
+"""Shared host-loop plumbing for the training drivers.
+
+gen_recon and anomaly (and any future driver) share the same non-numeric
+scaffolding: resume-path resolution (incl. the 'auto' preemption-recovery
+mode), the mesh/jit wiring of the fused train step, loader stream
+construction with background prefetch for non-native loaders, and the
+graceful-preemption checkpoint. One implementation keeps the two drivers
+in lockstep.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+
+from ..parallel import batch_sharding, replicate, replicated
+from ..utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .step import make_train_step
+
+
+def resolve_resume_path(resume_path: Optional[str], ckpt_dir: Optional[str]) -> Optional[str]:
+    """'auto' -> newest integer checkpoint in this run's ckpt dir (None when
+    the run is fresh); anything else passes through."""
+    if resume_path != "auto":
+        return resume_path
+    step_no = latest_step(ckpt_dir) if ckpt_dir else None
+    return os.path.join(ckpt_dir, str(step_no)) if step_no is not None else None
+
+
+def restore_for_resume(state, resume_path: Optional[str], ckpt_dir: Optional[str]):
+    """Returns (state, start_iter), restoring the FULL pytree when resuming
+    (incl. EBM, EMA params, optimizer states, PRNG — fixing the reference's
+    partial-resume bug, `train_gen_recon.py:163-170`)."""
+    resume_path = resolve_resume_path(resume_path, ckpt_dir)
+    if not resume_path:
+        return state, 0
+    directory, name = os.path.split(resume_path.rstrip("/"))
+    state = restore_checkpoint(directory, name, state)
+    start_iter = int(state.step)
+    print(f"[damc] resumed from {resume_path} at iteration {start_iter}")
+    return state, start_iter
+
+
+def make_step_fn(models, opts, cfg, mesh, state):
+    """Jit the fused train step (donated state; DP shardings under a mesh).
+    Returns (step_fn, state) — the state is device_put-replicated when a
+    mesh is active."""
+    if mesh is not None:
+        state = replicate(mesh, state)
+        step = jax.jit(
+            make_train_step(models, opts, cfg),
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=(replicated(mesh), replicated(mesh)),
+            donate_argnums=0,
+        )
+    else:
+        step = jax.jit(make_train_step(models, opts, cfg), donate_argnums=0)
+    return step, state
+
+
+def make_stream(loader):
+    """loader.stream(), with background prefetch for loaders that do not
+    already overlap batch assembly (the native C++ engine does)."""
+    stream = loader.stream()
+    if not getattr(loader, "native_prefetch", False):
+        from ..data.prefetch import Prefetcher
+
+        stream = Prefetcher(stream, depth=2)
+    return stream
+
+
+def preemption_checkpoint(shutdown, ckpt_dir: Optional[str], it: int, state) -> None:
+    """Save the full state at a signal-interrupted iteration boundary."""
+    if ckpt_dir:
+        jax.block_until_ready(state)
+        path = save_checkpoint(ckpt_dir, str(it), state)
+        print(f"[damc] signal {shutdown.signum}: checkpointed to {path}; exiting")

@@ -18,15 +18,20 @@ import numpy as np
 
 from ..data.native_loader import make_loader
 from ..metrics.fid import compute_stats, fid_from_samples
-from ..parallel import batch_sharding, make_mesh, replicate, replicated
+from ..parallel import batch_sharding, make_mesh
 from ..utils.config import Config
-from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.checkpoint import save_checkpoint
 from ..utils.preemption import graceful_shutdown
 from ..utils.logging import MetricsLogger, save_image_grid
 from ..utils.profiling import StepTimer
 from . import sampling
 from .state import DAMCState, create_state
-from .step import make_train_step
+from .driver_utils import (
+    make_step_fn,
+    make_stream,
+    preemption_checkpoint,
+    restore_for_resume,
+)
 
 
 def make_fid_batch_fn(models, cfg, batch, prior, mesh=None):
@@ -82,9 +87,10 @@ def evaluate_fid(
             feature_fn, batches(), mesh, dim=int(np.shape(real_mu)[0])
         )
         return frechet_distance(mu, sigma, real_mu, real_sigma)
-    return fid_from_samples(
-        feature_fn, (np.asarray(b) for b in batches()), real_mu, real_sigma
-    )
+    # Device arrays pass straight into the (jitted) feature_fn — forcing
+    # np.asarray here would round-trip every generated batch through host
+    # memory for nothing.
+    return fid_from_samples(feature_fn, batches(), real_mu, real_sigma)
 
 
 def make_recon_fn(models, cfg, langevin_steps: int = 10):
@@ -105,12 +111,20 @@ def evaluate_mse(
     """Test-set recon MSE: Q init + 10-step noiseless Langevin
     (`train_gen_recon.py:324-348`)."""
     recon = recon_fn or make_recon_fn(models, cfg)
-    total = 0.0
     n = len(eval_images)
+    if n == 0:
+        raise ValueError("evaluate_mse: empty eval set")
+    if n < batch:
+        # Smoke/tiny sets: shrink the batch rather than silently reporting
+        # 0.0 from zero processed batches (recon_fn is shape-generic; a
+        # fresh compile for the odd size is fine for a one-off eval set).
+        batch = n
+        recon = make_recon_fn(models, cfg)
+    total = 0.0
     for i in range(0, n - n % batch, batch):
         x = jax.numpy.asarray(eval_images[i : i + batch])
         total += float(recon(state, jax.random.fold_in(key, i), x))
-    return total / max(n - n % batch, 1)
+    return total / (n - n % batch)
 
 
 def train_gen_recon(
@@ -134,40 +148,15 @@ def train_gen_recon(
     ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
 
     key = jax.random.PRNGKey(seed)
-    k_init, k_eval = jax.random.split(key)
+    # Disjoint streams per consumer: plot / FID-damc / FID-ebm / MSE must
+    # not alias each other (folding a shared key by iteration index made
+    # plot-at-it collide with MSE-at-it and FID-at-it/2).
+    k_init, k_plot_base, k_fid_damc, k_fid_ebm, k_mse = jax.random.split(key, 5)
     state, models, opts = create_state(k_init, cfg)
 
-    start_iter = 0
-    resume_path = tc.resume_path
-    if resume_path == "auto":
-        # Preemption recovery: continue from the newest checkpoint of THIS
-        # run dir (fresh start when none exists yet).
-        from ..utils.checkpoint import latest_step
-
-        step_no = latest_step(ckpt_dir) if ckpt_dir else None
-        resume_path = os.path.join(ckpt_dir, str(step_no)) if step_no is not None else None
-    if resume_path:
-        # Exact resume: the full pytree (incl. EBM, EMA params, optimizer
-        # states, PRNG) restores — fixing the reference's partial-resume bug
-        # (`train_gen_recon.py:163-170` drops E/E_opt/Q_dummy).
-        import os.path as osp
-
-        directory, name = osp.split(resume_path.rstrip("/"))
-        state = restore_checkpoint(directory, name, state)
-        start_iter = int(state.step)
-        print(f"[damc] resumed from {resume_path} at iteration {start_iter}")
-
+    state, start_iter = restore_for_resume(state, tc.resume_path, ckpt_dir)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
-    if mesh is not None:
-        state = replicate(mesh, state)
-        step = jax.jit(
-            make_train_step(models, opts, cfg),
-            in_shardings=(replicated(mesh), batch_sharding(mesh)),
-            out_shardings=(replicated(mesh), replicated(mesh)),
-            donate_argnums=0,
-        )
-    else:
-        step = jax.jit(make_train_step(models, opts, cfg), donate_argnums=0)
+    step, state = make_step_fn(models, opts, cfg, mesh, state)
 
     # Real-image FID statistics, precomputed once (`train_gen_recon.py:114-126`).
     real_mu = real_sigma = None
@@ -187,13 +176,7 @@ def train_gen_recon(
         augment_flip=True,
         seed=seed,
     )
-    stream = loader.stream()
-    if not getattr(loader, "native_prefetch", False):
-        # NumPy/lazy-dataset path: decode the next batch on a background
-        # thread while the device runs the current step.
-        from ..data.prefetch import Prefetcher
-
-        stream = Prefetcher(stream, depth=2)
+    stream = make_stream(loader)
 
     fid_best = mse_best = float("inf")
     timer = StepTimer()
@@ -228,12 +211,8 @@ def train_gen_recon(
     # cleanly; `--resume_path auto` continues from the newest checkpoint.
     with graceful_shutdown() as shutdown:
         for it in range(start_iter, iterations):
-            if shutdown and ckpt_dir:
-                jax.block_until_ready(state)
-                path = save_checkpoint(ckpt_dir, str(it), state)
-                print(f"[damc] signal {shutdown.signum}: checkpointed to {path}; exiting")
-                break
-            elif shutdown:
+            if shutdown:
+                preemption_checkpoint(shutdown, ckpt_dir, it, state)
                 break
             with timer.phase("data"):
                 x_np, _ = next(stream)
@@ -259,7 +238,7 @@ def train_gen_recon(
             if img_dir and tc.plot_every > 0 and it % tc.plot_every == 0:
                 # Grid dumps mirroring `train_gen_recon.py:267-280`: observations,
                 # posterior recon (Q init + Langevin), Q-only recon, prior samples.
-                k_plot = jax.random.fold_in(k_eval, it)
+                k_plot = jax.random.fold_in(k_plot_base, it)
                 n_show = min(64, tc.batch_size)
                 save_image_grid(np.asarray(x[:n_show]), f"{img_dir}/{it}_obs.png")
                 x_hat, _ = plot_recon_fn(state, k_plot, x[:n_show])
@@ -272,34 +251,42 @@ def train_gen_recon(
             if ckpt_dir and tc.ckpt_every > 0 and it > 0 and it % tc.ckpt_every == 0:
                 save_checkpoint(ckpt_dir, str(it), state)
 
-            if tc.eval_every > 0 and it % tc.eval_every == 0 and feature_fn is not None and real_mu is not None:
+            if tc.eval_every > 0 and it % tc.eval_every == 0:
                 eval_metrics: Dict[str, float] = {}
                 name = fid_metric_name
-                eval_metrics[f"{name}_damc"] = evaluate_fid(
-                    jax.random.fold_in(k_eval, 2 * it),
-                    state, models, cfg, feature_fn, real_mu, real_sigma,
-                    tc.n_fid_samples, fid_bs, prior="damc", mesh=mesh, batch_fn=fid_damc_fn,
-                    grid_path=f"{img_dir}/{it}_fid_damc.png" if img_dir else None,
-                )
-                eval_metrics[f"{name}_ebm"] = evaluate_fid(
-                    jax.random.fold_in(k_eval, 2 * it + 1),
-                    state, models, cfg, feature_fn, real_mu, real_sigma,
-                    tc.n_fid_samples, fid_bs, prior="ebm", mesh=mesh, batch_fn=fid_ebm_fn,
-                    grid_path=f"{img_dir}/{it}_fid_ebm.png" if img_dir else None,
-                )
+                if feature_fn is not None and real_mu is not None:
+                    eval_metrics[f"{name}_damc"] = evaluate_fid(
+                        jax.random.fold_in(k_fid_damc, it),
+                        state, models, cfg, feature_fn, real_mu, real_sigma,
+                        tc.n_fid_samples, fid_bs, prior="damc", mesh=mesh,
+                        batch_fn=fid_damc_fn,
+                        grid_path=f"{img_dir}/{it}_fid_damc.png" if img_dir else None,
+                    )
+                    eval_metrics[f"{name}_ebm"] = evaluate_fid(
+                        jax.random.fold_in(k_fid_ebm, it),
+                        state, models, cfg, feature_fn, real_mu, real_sigma,
+                        tc.n_fid_samples, fid_bs, prior="ebm", mesh=mesh,
+                        batch_fn=fid_ebm_fn,
+                        grid_path=f"{img_dir}/{it}_fid_ebm.png" if img_dir else None,
+                    )
+                # MSE eval is independent of FID availability (the reference
+                # evaluates it whenever the interval fires,
+                # `train_gen_recon.py:324-348`).
                 if mse_images is not None:
                     eval_metrics["recon_mse"] = evaluate_mse(
-                        jax.random.fold_in(k_eval, it),
+                        jax.random.fold_in(k_mse, it),
                         state, models, cfg, mse_images, tc.batch_size,
                         recon_fn=recon_fn,
                     )
                     mse_best = min(mse_best, eval_metrics["recon_mse"])
-                if eval_metrics[f"{name}_damc"] < fid_best:
+                if eval_metrics.get(f"{name}_damc", float("inf")) < fid_best:
                     fid_best = eval_metrics[f"{name}_damc"]
                     if ckpt_dir:
                         save_checkpoint(ckpt_dir, "best", state)
-                eval_metrics[f"{name}_best"] = fid_best
-                logger.log(it, eval_metrics, prefix="eval")
+                if f"{name}_damc" in eval_metrics:
+                    eval_metrics[f"{name}_best"] = fid_best
+                if eval_metrics:
+                    logger.log(it, eval_metrics, prefix="eval")
 
     if hasattr(stream, "close"):
         stream.close()

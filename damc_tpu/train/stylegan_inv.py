@@ -16,6 +16,8 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from .sampling import to_unit_range
 import numpy as np
 
 from ..models import stylegan as sg
@@ -83,8 +85,9 @@ def invert_batch(
     """Full inversion for one batch: Q(x) -> NaN rescue -> Adam refine.
 
     `stylegan_params` needs keys 'generator' (with mapping/truncation/
-    synthesis) and 'vgg'; the encoder embedding is computed by the caller or
-    here when 'encoder' is present. Returns (x_hat, z, per-step losses).
+    synthesis), 'encoder' (the frozen inversion encoder whose embedding
+    conditions Q — reference `diffusion_net_stylegan.py:327-356`), and
+    'vgg'. Returns (x_hat, z, per-step losses).
     """
     k_q, k_rescue = jax.random.split(key)
     gen = stylegan_params["generator"]
@@ -197,7 +200,7 @@ def evaluate_inversion(
         )
         n += batch
         if feature_fn is not None:
-            recons.append(np.asarray((1.0 + jnp.clip(x_hat, -1, 1)) / 2.0))
+            recons.append(np.asarray(to_unit_range(x_hat)))
     out = {"recon_mse": total_mse / max(n, 1)}
     if feature_fn is not None and real_mu is not None:
         from ..metrics.fid import fid_from_samples
