@@ -246,11 +246,13 @@ def load_dataset(cfg: Config) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         tr = load_image_folder_cached(osp.join(root, "train"), 256)
         te = to_pm1(load_image_folder(osp.join(root, "test"), 256))
         return tr, tr, te
-    if d == "mnist":
-        hx, _ = load_mnist_anomaly(root, cfg.train.heldout_digit, "train")
-        tx, ty = load_mnist_anomaly(root, cfg.train.heldout_digit, "test")
-        return hx, tx, ty  # anomaly: (train, test_images, test_labels)
-    raise ValueError(f"unknown dataset {d!r}")
+    # MNIST is the anomaly-detection workload (labels, not a gen_recon
+    # split triple) — reference train_gen_recon supports svhn/cifar10/
+    # celeba only (`train_gen_recon.py:58-107`); use train_anomaly_det.
+    raise ValueError(
+        f"unknown gen_recon dataset {d!r} (mnist is the anomaly workload: "
+        "python -m damc_tpu.cli.train_anomaly_det)"
+    )
 
 
 def make_feature_fn(cfg: Config):

@@ -41,7 +41,7 @@ def main(argv=None):
     train_images, fid_images, mse_images = load_dataset(cfg)
     feature_fn, metric_name = make_feature_fn(cfg)
 
-    from ..metrics.fid import compute_stats
+    from ..metrics.fid import compute_stats, images_to_unit
     from ..train.gen_recon import evaluate_fid, evaluate_mse
     from ..train.state import create_state
     from ..utils.checkpoint import restore_checkpoint
@@ -50,7 +50,7 @@ def main(argv=None):
     state = restore_checkpoint(args.ckpt_dir, args.ckpt_name, state)
     print(f"[damc] restored step {int(state.step)} from {args.ckpt_dir}/{args.ckpt_name}")
 
-    unit = (fid_images + 1.0) / 2.0
+    unit = images_to_unit(fid_images)
     real_mu, real_sigma = compute_stats(
         feature_fn, (unit[i : i + 256] for i in range(0, len(unit), 256))
     )

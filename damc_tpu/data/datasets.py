@@ -351,10 +351,16 @@ class LSUNImages:
     def __getitem__(self, index):
         if np.isscalar(index) or isinstance(index, (int, np.integer)):
             return self._get_one(int(index))
+        # Partition the batch per class-db so each sub-batch hits
+        # LSUNClassImages' batch path (native JPEG thread pool) instead of
+        # one-by-one PIL decodes.
         index = np.asarray(index)
         out = np.empty((len(index), self.size, self.size, 3), np.uint8)
-        for i, j in enumerate(index):
-            out[i] = self._get_one(int(j))
+        db_ids = np.searchsorted(self.cum, index, side="right")
+        for db_i in np.unique(db_ids):
+            sel = np.nonzero(db_ids == db_i)[0]
+            base = 0 if db_i == 0 else int(self.cum[db_i - 1])
+            out[sel] = self.dbs[int(db_i)][index[sel] - base]
         return out
 
 
@@ -426,6 +432,12 @@ class Loader:
 
     def stream(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Infinite epoch-cycling stream."""
+        if len(self) == 0:
+            raise ValueError(
+                f"Loader yields no batches: {len(self.images)} images < "
+                f"batch_size {self.batch_size} with drop_last — an infinite "
+                "stream would spin forever"
+            )
         while True:
             yield from self
 

@@ -46,6 +46,16 @@ class RunningStats:
         return mu, cov
 
 
+def images_to_unit(images: np.ndarray) -> np.ndarray:
+    """Host images -> [0, 1] floats for feature extraction: uint8 [0,255]
+    storage divides by 255; float arrays are assumed [-1, 1] (the pipeline
+    convention) and are affinely mapped. Mixing these up silently corrupts
+    FID statistics, so every stats call site routes through here."""
+    if images.dtype == np.uint8:
+        return images.astype(np.float32) / 255.0
+    return (np.asarray(images, np.float32) + 1.0) / 2.0
+
+
 def compute_stats(
     feature_fn: FeatureFn,
     batches: Iterable[np.ndarray],

@@ -37,4 +37,5 @@ def auprc(scores, labels) -> float:
 
     precision = np.r_[1.0, precision]
     recall = np.r_[0.0, recall]
-    return float(np.trapezoid(precision, recall))
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2
+    return float(trapezoid(precision, recall))

@@ -199,6 +199,14 @@ class LatentDenoiser(nn.Module):
         assert logsnr.shape == (b,), logsnr.shape
         temb = self._time_embed(logsnr)
         if xemb is None:
+            # Reference guard (`diffusion_net.py:508`): an unconditional
+            # call is only valid when the net was built without an x
+            # embedding — otherwise the ctx matmul fails with an opaque
+            # dimension error deep in layer 0.
+            assert self.nxemb == 0, (
+                f"xemb=None requires nxemb == 0, but this denoiser was "
+                f"built with nxemb={self.nxemb}"
+            )
             ctx = temb
         else:
             assert xemb.shape == (b, self.nxemb), xemb.shape

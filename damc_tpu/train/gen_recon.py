@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 from ..data.native_loader import make_loader
-from ..metrics.fid import compute_stats, fid_from_samples
+from ..metrics.fid import compute_stats, fid_from_samples, images_to_unit
 from ..parallel import batch_sharding, make_mesh
 from ..utils.config import Config
 from ..utils.checkpoint import save_checkpoint
@@ -161,7 +161,7 @@ def train_gen_recon(
     # Real-image FID statistics, precomputed once (`train_gen_recon.py:114-126`).
     real_mu = real_sigma = None
     if feature_fn is not None and fid_images is not None:
-        unit = (fid_images.astype(np.float32) + 1.0) / 2.0 if fid_images.dtype != np.uint8 else fid_images.astype(np.float32) / 255.0
+        unit = images_to_unit(fid_images)
         real_mu, real_sigma = compute_stats(
             feature_fn,
             (unit[i : i + 256] for i in range(0, len(unit), 256)),

@@ -126,3 +126,15 @@ class TestShardedStats:
         mu_d, sig_d = compute_stats_sharded(feat, iter(device_batches), mesh, dim=16)
         np.testing.assert_allclose(mu_d, mu_host, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(sig_d, sig_host, rtol=1e-4, atol=1e-6)
+
+
+def test_images_to_unit_handles_both_storage_conventions():
+    """uint8 [0,255] and float [-1,1] must both land in [0,1] — mixing them
+    up corrupted eval-CLI FID stats (review finding: eval_gen_recon ran
+    (uint8 + 1)/2, producing features over [0.5, 128])."""
+    from damc_tpu.metrics.fid import images_to_unit
+
+    u8 = np.array([[0, 128, 255]], np.uint8)
+    np.testing.assert_allclose(images_to_unit(u8), [[0.0, 128 / 255, 1.0]])
+    pm1 = np.array([[-1.0, 0.0, 1.0]], np.float32)
+    np.testing.assert_allclose(images_to_unit(pm1), [[0.0, 0.5, 1.0]])
