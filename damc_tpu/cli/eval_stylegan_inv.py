@@ -52,6 +52,9 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None, help="cap on test images")
     args = p.parse_args(argv)
 
+    from .common import enable_compile_cache
+
+    enable_compile_cache()  # the Q-sweep+Adam program takes minutes to compile
     res = args.resolution
     stylegan_params = load_stylegan(
         generator_path=args.pretrained_G_path,
@@ -88,7 +91,11 @@ def main(argv=None):
     else:
         images = to_pm1(load_image_folder(args.data_path, res, limit=args.limit))
     feature_fn, metric_name = make_feature_fn(cfg)
-    unit = (images + 1.0) / 2.0
+    from ..metrics.fid import images_to_unit
+
+    # Real-stats pass capped at n_fid_samples (reference
+    # `eval_stylegan_inv.py:100-105`).
+    unit = images_to_unit(images[: args.n_fid_samples])
     real_mu, real_sigma = compute_stats(
         feature_fn, (unit[i : i + 64] for i in range(0, len(unit), 64))
     )

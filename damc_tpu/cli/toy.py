@@ -91,7 +91,7 @@ def main(argv=None):
     )
     res = eval_toy_parity(
         state, models, cfg, seed=args.seed, gt_steps=args.gt_steps,
-        eval_fn=parity_fn,
+        n_batches=args.viz_batches, eval_fn=parity_fn,
     )
     logger.log(
         args.iterations,

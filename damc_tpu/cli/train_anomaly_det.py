@@ -34,7 +34,8 @@ def main(argv=None):
     from ..train.anomaly import train_anomaly
 
     state, auc_best = train_anomaly(
-        cfg, train_x, test_images=test_x, test_labels=test_y, log_dir=log_dir
+        cfg, train_x, test_images=test_x, test_labels=test_y, log_dir=log_dir,
+        use_mesh=args.use_mesh,
     )
     print(f"[damc] best AUPRC: {auc_best:.4f}")
 

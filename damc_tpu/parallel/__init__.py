@@ -6,15 +6,15 @@ from .mesh import (
     MODEL_AXIS,
     batch_sharding,
     make_mesh,
-    pad_to_multiple,
     replicate,
     replicated,
     shard_batch,
 )
-from .tp import channel_sharding_spec, shard_params_channelwise
+from .tp import channel_sharding_spec, channel_sharding_tree, shard_params_channelwise
 
 __all__ = [
     "channel_sharding_spec",
+    "channel_sharding_tree",
     "shard_params_channelwise",
     "global_mesh",
     "initialize_distributed",
@@ -23,7 +23,6 @@ __all__ = [
     "MODEL_AXIS",
     "batch_sharding",
     "make_mesh",
-    "pad_to_multiple",
     "replicate",
     "replicated",
     "shard_batch",

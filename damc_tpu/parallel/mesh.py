@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
-import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -58,14 +57,3 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     """Device-put a pytree fully replicated over the mesh."""
     return jax.device_put(tree, replicated(mesh))
-
-
-def pad_to_multiple(array: np.ndarray, multiple: int, axis: int = 0):
-    """Pad the batch axis so it divides the data-axis size; returns (padded, n_real)."""
-    n = array.shape[axis]
-    rem = (-n) % multiple
-    if rem == 0:
-        return array, n
-    pad_width = [(0, 0)] * array.ndim
-    pad_width[axis] = (0, rem)
-    return np.pad(array, pad_width, mode="edge"), n

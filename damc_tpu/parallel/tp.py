@@ -48,6 +48,27 @@ def channel_sharding_spec(mesh: Mesh, min_channels: int = 64):
     return leaf_sharding
 
 
+def _on_noise_path(path) -> bool:
+    return any("noise" in str(getattr(k, "key", k)) for k in path)
+
+
+def channel_sharding_tree(mesh: Mesh, params: Any, min_channels: int = 64):
+    """NamedSharding pytree for `params`: last-axis channel sharding for
+    wide kernels, everything else replicated.
+
+    Path-aware so the StyleGAN per-layer noise BUFFERS — (H, W) arrays that
+    can look like wide 2-D kernels — stay replicated per the module policy
+    (spatially sharding them is numerically fine under GSPMD but inserts a
+    reshard at every noise-add)."""
+    leaf = channel_sharding_spec(mesh, min_channels)
+    rep = NamedSharding(mesh, P())
+
+    def pick(path, x):
+        return rep if _on_noise_path(path) else leaf(x)
+
+    return jax.tree_util.tree_map_with_path(pick, params)
+
+
 def shard_params_channelwise(mesh: Mesh, params: Any, min_channels: int = 64):
     """device_put a param tree with output channels sharded over `model`.
 
@@ -58,5 +79,5 @@ def shard_params_channelwise(mesh: Mesh, params: Any, min_channels: int = 64):
     mesh); per-device parameter memory drops by ~n_model for the wide
     layers.
     """
-    leaf = channel_sharding_spec(mesh, min_channels)
-    return jax.tree.map(lambda x: jax.device_put(x, leaf(x)), params)
+    shardings = channel_sharding_tree(mesh, params, min_channels)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -48,6 +48,13 @@ def make_step_fn(models, opts, cfg, mesh, state):
     Returns (step_fn, state) — the state is device_put-replicated when a
     mesh is active."""
     if mesh is not None:
+        n_data = mesh.shape["data"]
+        if cfg.train.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} does not divide over the "
+                f"data axis ({n_data} devices) — sharded device_put of the "
+                "training batch would fail at the first step"
+            )
         state = replicate(mesh, state)
         step = jax.jit(
             make_train_step(models, opts, cfg),

@@ -192,16 +192,33 @@ def evaluate_inversion(
     )
     total_mse, n = 0.0, 0
     recons = []
-    for i in range(0, len(images) - len(images) % batch, batch):
-        xb = jnp.asarray(images[i : i + batch])
+    n_total = len(images)
+    if n_total == 0:
+        raise ValueError("evaluate_inversion: empty image set")
+    # Cover EVERY image like the reference's drop_last=False sweep
+    # (`eval_stylegan_inv.py:128-152`): the tail batch is padded (repeating
+    # the last image) to keep one compiled shape, then sliced back.
+    for i in range(0, n_total, batch):
+        xb_real = images[i : i + batch]
+        n_real = len(xb_real)
+        if n_real < batch:
+            pad = np.repeat(np.asarray(xb_real[-1:]), batch - n_real, axis=0)
+            xb = jnp.asarray(np.concatenate([np.asarray(xb_real), pad], axis=0))
+        else:
+            xb = jnp.asarray(xb_real)
         x_hat, z, _ = run(q_params, stylegan_params, jax.random.fold_in(key, i), xb)
+        x_hat = x_hat[:n_real]
         total_mse += float(
-            jnp.sum(jnp.mean((x_hat - xb).reshape(batch, -1) ** 2, axis=-1))
+            jnp.sum(
+                jnp.mean(
+                    (x_hat - xb[:n_real]).reshape(n_real, -1) ** 2, axis=-1
+                )
+            )
         )
-        n += batch
+        n += n_real
         if feature_fn is not None:
             recons.append(np.asarray(to_unit_range(x_hat)))
-    out = {"recon_mse": total_mse / max(n, 1)}
+    out = {"recon_mse": total_mse / n}
     if feature_fn is not None and real_mu is not None:
         from ..metrics.fid import fid_from_samples
 

@@ -147,7 +147,7 @@ def test_stylegan_tp_channel_sharding_matches_replicated():
         generator_apply,
         num_synthesis_layers,
     )
-    from damc_tpu.parallel import channel_sharding_spec, shard_params_channelwise
+    from damc_tpu.parallel import channel_sharding_tree, shard_params_channelwise
 
     pytest_stylegan = __import__("pytest")
     import os
@@ -173,7 +173,6 @@ def test_stylegan_tp_channel_sharding_matches_replicated():
     params_tp = shard_params_channelwise(mesh, params, min_channels=64)
 
     # Wide kernels must actually be sharded (1/4 per device), rest replicated.
-    leaf_spec = channel_sharding_spec(mesh, 64)
     sharded_leaves = [
         x for x in jax.tree.leaves(params_tp)
         if x.ndim >= 2 and x.shape[-1] >= 64 and x.shape[-1] % 4 == 0
@@ -187,7 +186,7 @@ def test_stylegan_tp_channel_sharding_matches_replicated():
 
     run = jax.jit(
         lambda p, w: generator_apply(p, w, resolution=32),
-        in_shardings=(jax.tree.map(leaf_spec, params), batch_sharding(mesh)),
+        in_shardings=(channel_sharding_tree(mesh, params, 64), batch_sharding(mesh)),
         out_shardings=replicated(mesh),
     )
     out = np.asarray(run(params_tp, shard_batch(mesh, wp)))
