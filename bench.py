@@ -50,11 +50,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def force_sync(x) -> None:
-    """Device fence that provably waits: transfer a scalar derived from x."""
-    leaf = jax.tree.leaves(x)[0]
-    np.asarray(leaf.ravel()[0])
-
 from damc_tpu.models.amortizer import sample_q
 from damc_tpu.ops.langevin import (
     langevin_sample,
@@ -63,6 +58,7 @@ from damc_tpu.ops.langevin import (
 )
 from damc_tpu.train import create_state
 from damc_tpu.utils import preset
+from damc_tpu.utils.profiling import force_sync
 
 # Documented-floor estimates for the reference on an RTX A6000 (see module
 # docstring for the derivation; both are generous to the reference).
@@ -162,6 +158,8 @@ def bench_sampling_phase(models, state, cfg, B=128) -> float:
         zk_neg, _ = prior_langevin_auto(
             k_prior, z_neg_init, models.ebm, params_e,
             mc.e_l_steps, mc.e_l_step_size, mc.e_l_with_noise,
+            use_pallas=cfg.train.use_pallas,
+            dots_dtype=cfg.train.pallas_dots_dtype,
         )
         return zk_pos, zk_neg
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Sequence, Tuple
 
 _NATIVE_DIR = os.path.join(
@@ -59,3 +60,23 @@ def build_and_load(
         if isinstance(e, subprocess.CalledProcessError) and e.stderr:
             detail = ": " + e.stderr.decode(errors="replace")[-300:]
         return None, f"{e}{detail}"
+
+
+_loaded: dict = {}
+_loaded_lock = threading.Lock()
+
+
+def load_cached(src_name: str, lib_name: str, extra_flags: Sequence[str],
+                configure) -> Tuple[Optional[ctypes.CDLL], Optional[str]]:
+    """Memoized build_and_load + one-time ctypes configuration.
+
+    `configure(lib)` sets restype/argtypes on first successful load. Returns
+    (lib, error); both are cached so repeated failures don't re-invoke g++.
+    """
+    with _loaded_lock:
+        if lib_name not in _loaded:
+            lib, err = build_and_load(src_name, lib_name, extra_flags)
+            if lib is not None:
+                configure(lib)
+            _loaded[lib_name] = (lib, err)
+        return _loaded[lib_name]

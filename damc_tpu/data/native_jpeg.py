@@ -15,40 +15,30 @@ from __future__ import annotations
 
 import ctypes
 import os
-import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_lib_error: Optional[str] = None
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.damc_jpeg_decode_batch.restype = ctypes.c_int
+    lib.damc_jpeg_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int,
+    ]
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_error
-    with _lock:
-        if _lib is not None or _lib_error is not None:
-            return _lib
-        from ._native_build import build_and_load
+    from ._native_build import load_cached
 
-        lib, _lib_error = build_and_load(
-            "jpeg_pipeline.cpp", "libjpeg_pipeline.so", ["-pthread", "-ljpeg"]
-        )
-        if lib is None:
-            return None
-        lib.damc_jpeg_decode_batch.restype = ctypes.c_int
-        lib.damc_jpeg_decode_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p),
-            ctypes.POINTER(ctypes.c_size_t),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_void_p,
-            ctypes.c_void_p,
-            ctypes.c_int,
-        ]
-        _lib = lib
-        return _lib
+    lib, _ = load_cached(
+        "jpeg_pipeline.cpp", "libjpeg_pipeline.so", ["-pthread", "-ljpeg"], _configure
+    )
+    return lib
 
 
 def native_jpeg_available() -> bool:
@@ -69,7 +59,12 @@ def decode_crop_resize_batch(
     """
     lib = _load()
     if lib is None:
-        raise RuntimeError(f"native jpeg pipeline unavailable: {_lib_error}")
+        from ._native_build import load_cached
+
+        _, err = load_cached(
+            "jpeg_pipeline.cpp", "libjpeg_pipeline.so", ["-pthread", "-ljpeg"], _configure
+        )
+        raise RuntimeError(f"native jpeg pipeline unavailable: {err}")
     n = len(bufs)
     out = np.zeros((n, size, size, 3), np.uint8)
     ok = np.zeros((n,), np.uint8)

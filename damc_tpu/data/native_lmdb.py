@@ -20,48 +20,38 @@ from __future__ import annotations
 
 import ctypes
 import os
-import threading
 from typing import Iterator, List, Optional
 
 import numpy as np
 
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_lib_error: Optional[str] = None
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.damc_lmdb_open.restype = ctypes.c_void_p
+    lib.damc_lmdb_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t]
+    lib.damc_lmdb_entries.restype = ctypes.c_uint64
+    lib.damc_lmdb_entries.argtypes = [ctypes.c_void_p]
+    lib.damc_lmdb_get.restype = ctypes.c_int
+    lib.damc_lmdb_get.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.damc_lmdb_keys_size.restype = ctypes.c_int64
+    lib.damc_lmdb_keys_size.argtypes = [ctypes.c_void_p]
+    lib.damc_lmdb_keys_fill.restype = ctypes.c_int64
+    lib.damc_lmdb_keys_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.damc_lmdb_error.restype = ctypes.c_char_p
+    lib.damc_lmdb_error.argtypes = [ctypes.c_void_p]
+    lib.damc_lmdb_close.restype = None
+    lib.damc_lmdb_close.argtypes = [ctypes.c_void_p]
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_error
-    with _lock:
-        if _lib is not None or _lib_error is not None:
-            return _lib
-        from ._native_build import build_and_load
+    from ._native_build import load_cached
 
-        lib, _lib_error = build_and_load("lmdb_reader.cpp", "liblmdb_reader.so")
-        if lib is None:
-            return None
-        lib.damc_lmdb_open.restype = ctypes.c_void_p
-        lib.damc_lmdb_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t]
-        lib.damc_lmdb_entries.restype = ctypes.c_uint64
-        lib.damc_lmdb_entries.argtypes = [ctypes.c_void_p]
-        lib.damc_lmdb_get.restype = ctypes.c_int
-        lib.damc_lmdb_get.argtypes = [
-            ctypes.c_void_p,
-            ctypes.c_char_p,
-            ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_void_p),
-            ctypes.POINTER(ctypes.c_uint64),
-        ]
-        lib.damc_lmdb_keys_size.restype = ctypes.c_int64
-        lib.damc_lmdb_keys_size.argtypes = [ctypes.c_void_p]
-        lib.damc_lmdb_keys_fill.restype = ctypes.c_int64
-        lib.damc_lmdb_keys_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
-        lib.damc_lmdb_error.restype = ctypes.c_char_p
-        lib.damc_lmdb_error.argtypes = [ctypes.c_void_p]
-        lib.damc_lmdb_close.restype = None
-        lib.damc_lmdb_close.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return _lib
+    lib, _ = load_cached("lmdb_reader.cpp", "liblmdb_reader.so", [], _configure)
+    return lib
 
 
 def native_lmdb_available() -> bool:
@@ -113,7 +103,10 @@ class NativeLMDBEnv:
     def __init__(self, path: str):
         lib = _load()
         if lib is None:
-            raise RuntimeError(f"native LMDB reader unavailable: {_lib_error}")
+            from ._native_build import load_cached
+
+            _, err = load_cached("lmdb_reader.cpp", "liblmdb_reader.so", [], _configure)
+            raise RuntimeError(f"native LMDB reader unavailable: {err}")
         self._lib = lib
         err = ctypes.create_string_buffer(512)
         self._h = lib.damc_lmdb_open(os.fsencode(path), err, len(err))

@@ -12,43 +12,31 @@ from __future__ import annotations
 
 import ctypes
 import os
-import threading
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-_lib_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_lib_error: Optional[str] = None
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.damc_loader_create.restype = ctypes.c_void_p
+    lib.damc_loader_create.argtypes = [
+        ctypes.c_void_p,  # images
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.damc_loader_next.restype = ctypes.c_int
+    lib.damc_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p
+    ]
+    lib.damc_loader_destroy.restype = None
+    lib.damc_loader_destroy.argtypes = [ctypes.c_void_p]
 
 
 def _load_library() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_error
-    with _lib_lock:
-        if _lib is not None or _lib_error is not None:
-            return _lib
-        from ._native_build import build_and_load
+    from ._native_build import load_cached
 
-        lib, _lib_error = build_and_load(
-            "batch_loader.cpp", "libbatch_loader.so", ["-pthread"]
-        )
-        if lib is None:
-            return None
-        lib.damc_loader_create.restype = ctypes.c_void_p
-        lib.damc_loader_create.argtypes = [
-            ctypes.c_void_p,  # images
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.damc_loader_next.restype = ctypes.c_int
-        lib.damc_loader_next.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p
-        ]
-        lib.damc_loader_destroy.restype = None
-        lib.damc_loader_destroy.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return _lib
+    lib, _ = load_cached("batch_loader.cpp", "libbatch_loader.so", ["-pthread"], _configure)
+    return lib
 
 
 def native_loader_available() -> bool:
@@ -76,12 +64,19 @@ class NativeLoader:
         num_threads: int = 0,
         prefetch_depth: int = 4,
     ):
-        assert images.dtype == np.uint8 and images.ndim == 4, (
-            "NativeLoader wants a uint8 (N, H, W, C) store"
-        )
+        if images.dtype != np.uint8 or images.ndim != 4:
+            raise ValueError(
+                f"NativeLoader wants a uint8 (N, H, W, C) store, got "
+                f"{images.dtype} ndim={images.ndim}"
+            )
         lib = _load_library()
         if lib is None:
-            raise RuntimeError(f"native loader unavailable: {_lib_error}")
+            from ._native_build import load_cached
+
+            _, err = load_cached(
+                "batch_loader.cpp", "libbatch_loader.so", ["-pthread"], _configure
+            )
+            raise RuntimeError(f"native loader unavailable: {err}")
         self._lib = lib
         self.images = np.ascontiguousarray(images)  # keep alive: C++ borrows
         self.batch_size = batch_size
@@ -116,7 +111,12 @@ class NativeLoader:
 
     def stream(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         while True:
-            yield self.next()
+            try:
+                yield self.next()
+            except StopIteration:
+                # PEP 479: a StopIteration from next() (loader closed) must
+                # end the generator, not surface as RuntimeError.
+                return
 
     def __iter__(self):
         return self.stream()
@@ -149,15 +149,17 @@ def make_loader(
 
     if (
         prefer_native
-        and getattr(images, "dtype", None) == np.uint8
         and isinstance(images, np.ndarray)
+        and images.dtype == np.uint8
+        and images.ndim == 4
+        and drop_last  # the native engine implements drop_last only
         and native_loader_available()
     ):
         try:
             return NativeLoader(
                 images, batch_size, shuffle, drop_last, augment_flip, seed
             )
-        except RuntimeError:
+        except (RuntimeError, ValueError):
             pass
     return Loader(
         images,

@@ -180,6 +180,12 @@ def train_gen_recon(
 
     fid_best = mse_best = float("inf")
     timer = StepTimer()
+    # StepTimer phases measure HOST time (jit dispatch is async, so
+    # time_s/train_step is enqueue cost, not device time); the honest
+    # throughput metric is wall-clock iterations/sec between prints.
+    import time as _time
+
+    last_print = None
     # Eval programs compiled ONCE (state passed as an argument). FID batches
     # use the reference's bs=500 protocol (`MCMC.py:130,152`), capped by the
     # sample budget for tiny smoke configs.
@@ -234,7 +240,14 @@ def train_gen_recon(
                         f"non-finite training metrics {bad} at iteration {it}; "
                         f"last metrics: {host_metrics}"
                     )
-                logger.log(it, {**host_metrics, **timer.report()})
+                extra = {}
+                now = _time.perf_counter()
+                if last_print is not None and it > last_print[0]:
+                    extra["iters_per_s_wall"] = (it - last_print[0]) / (
+                        now - last_print[1]
+                    )
+                last_print = (it, now)
+                logger.log(it, {**host_metrics, **timer.report(), **extra})
             if img_dir and tc.plot_every > 0 and it % tc.plot_every == 0:
                 # Grid dumps mirroring `train_gen_recon.py:267-280`: observations,
                 # posterior recon (Q init + Langevin), Q-only recon, prior samples.

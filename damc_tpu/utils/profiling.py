@@ -67,3 +67,16 @@ class StepTimer:
             if v > 0:
                 out[f"steps_per_s/{k}"] = 1.0 / v
         return out
+
+
+def force_sync(x) -> None:
+    """Device fence that provably waits: transfer a scalar derived from x.
+
+    On some remote-execution platforms (the axon TPU tunnel)
+    `jax.block_until_ready` can return before the device finishes; a scalar
+    device-to-host transfer cannot. All benchmarks use this."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf.ravel()[0])

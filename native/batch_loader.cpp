@@ -18,8 +18,8 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <mutex>
-#include <queue>
 #include <random>
 #include <thread>
 #include <vector>
@@ -30,6 +30,11 @@ struct Batch {
   std::vector<float> data;
   std::vector<int64_t> indices;
 };
+// Batches are claimed under the mutex in a deterministic order but finish
+// in scheduler-dependent order across workers; the ready buffer is keyed by
+// claim sequence and the consumer waits for the NEXT sequence number, so a
+// fixed seed yields the exact same batch stream regardless of thread count
+// (matching the single-threaded NumPy Loader).
 
 struct Loader {
   const uint8_t* images = nullptr;
@@ -46,8 +51,10 @@ struct Loader {
   std::vector<std::thread> workers;
   std::mutex mu;
   std::condition_variable cv_producer, cv_consumer;
-  std::queue<Batch> ready;
+  std::map<uint64_t, Batch> ready;  // keyed by claim sequence
   std::atomic<bool> stop{false};
+  uint64_t claim_seq = 0;  // next sequence to hand to a worker (guarded by mu)
+  uint64_t serve_seq = 0;  // next sequence the consumer expects (guarded by mu)
 
   // Work distribution state (guarded by mu).
   std::vector<int64_t> order;
@@ -88,7 +95,8 @@ struct Loader {
   }
 
   // Claim the next batch worth of indices; wraps epochs (infinite stream).
-  bool ClaimIndices(std::vector<int64_t>* idx, uint64_t* flip_seed) {
+  bool ClaimIndices(std::vector<int64_t>* idx, uint64_t* flip_seed,
+                    uint64_t* seq) {
     std::lock_guard<std::mutex> lock(mu);
     if (stop) return false;
     if (cursor + batch_size > n) {
@@ -99,6 +107,7 @@ struct Loader {
     idx->assign(order.begin() + cursor, order.begin() + cursor + batch_size);
     cursor += batch_size;
     *flip_seed = rng();
+    *seq = claim_seq++;
     return true;
   }
 
@@ -113,8 +122,8 @@ struct Loader {
         if (stop) return;
       }
       std::vector<int64_t> idx;
-      uint64_t flip_seed;
-      if (!ClaimIndices(&idx, &flip_seed)) return;
+      uint64_t flip_seed, seq;
+      if (!ClaimIndices(&idx, &flip_seed, &seq)) return;
 
       Batch b;
       b.indices = idx;
@@ -146,9 +155,9 @@ struct Loader {
       {
         std::lock_guard<std::mutex> lock(mu);
         if (stop) return;
-        ready.push(std::move(b));
+        ready.emplace(seq, std::move(b));
       }
-      cv_consumer.notify_one();
+      cv_consumer.notify_all();
     }
   }
 
@@ -157,10 +166,14 @@ struct Loader {
     Batch b;
     {
       std::unique_lock<std::mutex> lock(mu);
-      cv_consumer.wait(lock, [this] { return stop || !ready.empty(); });
-      if (stop && ready.empty()) return false;
-      b = std::move(ready.front());
-      ready.pop();
+      cv_consumer.wait(lock, [this] {
+        return stop || ready.count(serve_seq) != 0;
+      });
+      if (stop && ready.count(serve_seq) == 0) return false;
+      auto it = ready.find(serve_seq);
+      b = std::move(it->second);
+      ready.erase(it);
+      ++serve_seq;
     }
     cv_producer.notify_all();
     std::memcpy(out, b.data.data(), b.data.size() * sizeof(float));
@@ -180,6 +193,12 @@ void* damc_loader_create(const uint8_t* images, int64_t n, int64_t h,
                          int flip, int drop_last, uint64_t seed, int threads,
                          int prefetch_depth) {
   if (n <= 0 || batch_size <= 0 || batch_size > n) return nullptr;
+  // drop_last=false is NOT implemented by this engine (fixed-size output
+  // buffers; the tail would need a short batch). Reject it so callers fall
+  // back to the NumPy Loader instead of silently getting drop_last
+  // semantics anyway.
+  if (!drop_last) return nullptr;
+  if (prefetch_depth < 1) prefetch_depth = 1;
   return new Loader(images, n, h, w, c, batch_size, shuffle != 0, flip != 0,
                     drop_last != 0, seed, threads, prefetch_depth);
 }

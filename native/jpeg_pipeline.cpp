@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <exception>
 #include <thread>
 #include <vector>
 
@@ -63,6 +64,14 @@ bool decode_rgb(const uint8_t* buf, size_t len, std::vector<uint8_t>& rgb,
   jpeg_start_decompress(&cinfo);
   w = static_cast<int>(cinfo.output_width);
   h = static_cast<int>(cinfo.output_height);
+  // A corrupt/adversarial header can declare up to 65500x65500 (~12.8 GB
+  // RGB); treat implausibly large frames as corrupt instead of attempting
+  // the allocation.
+  constexpr int64_t kMaxPixels = 64LL * 1024 * 1024;  // 64 MP
+  if (w <= 0 || h <= 0 || (int64_t)w * h > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   rgb.resize(static_cast<size_t>(w) * h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = rgb.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
@@ -195,9 +204,16 @@ int damc_jpeg_decode_batch(const uint8_t* const* bufs, const size_t* lens,
       if (i >= n) break;
       int w = 0, h = 0;
       uint8_t* dst = out + item_elems * i;
-      const bool ok = decode_rgb(bufs[i], lens[i], rgb, w, h) && w > 0 && h > 0;
+      bool ok = false;
+      try {
+        ok = decode_rgb(bufs[i], lens[i], rgb, w, h) && w > 0 && h > 0;
+        if (ok) crop_resize(rgb, w, h, out_size, dst);
+      } catch (const std::exception&) {
+        // bad_alloc etc. must mark the item corrupt, not escape the worker
+        // thread (an uncaught exception would std::terminate the process).
+        ok = false;
+      }
       if (ok) {
-        crop_resize(rgb, w, h, out_size, dst);
         n_ok.fetch_add(1);
       } else {
         std::memset(dst, 0, item_elems);

@@ -81,3 +81,44 @@ def test_make_loader_falls_back_for_float_store():
     imgs = np.zeros((16, 2, 2, 1), np.float32)
     loader = make_loader(imgs, batch_size=8)
     assert isinstance(loader, Loader)
+
+
+def test_multithreaded_batch_order_is_deterministic():
+    """Workers finish in scheduler order, but the ready buffer is keyed by
+    claim sequence — a fixed seed must yield the identical batch stream
+    regardless of thread count (review finding: completion-order push made
+    seeded runs non-reproducible on multi-core hosts)."""
+    if not native_loader_available():
+        pytest.skip("no toolchain")
+    imgs = (np.random.RandomState(0).rand(64, 8, 8, 3) * 255).astype(np.uint8)
+
+    def collect(threads):
+        ld = NativeLoader(
+            imgs, batch_size=8, shuffle=True, drop_last=True,
+            augment_flip=True, seed=123, num_threads=threads,
+        )
+        out = [ld.next() for _ in range(24)]  # 3 epochs
+        ld.close()
+        return out
+
+    a, b, c = collect(1), collect(4), collect(4)
+    for (xa, ia), (xb, ib), (xc, ic) in zip(a, b, c):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ia, ic)
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(xa, xc)
+
+
+def test_drop_last_false_rejected_and_falls_back():
+    """The native engine implements drop_last-only; drop_last=False must
+    raise (direct use) and route make_loader to the NumPy Loader."""
+    if not native_loader_available():
+        pytest.skip("no toolchain")
+    from damc_tpu.data.datasets import Loader
+    from damc_tpu.data.native_loader import make_loader
+
+    imgs = (np.random.RandomState(1).rand(20, 8, 8, 3) * 255).astype(np.uint8)
+    with pytest.raises(RuntimeError):
+        NativeLoader(imgs, batch_size=8, drop_last=False)
+    ld = make_loader(imgs, batch_size=8, drop_last=False)
+    assert isinstance(ld, Loader)

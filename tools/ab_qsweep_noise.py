@@ -23,8 +23,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def force_sync(x):
-    np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+from damc_tpu.utils.profiling import force_sync  # noqa: E402
+
 
 
 def main():

@@ -27,8 +27,8 @@ from damc_tpu.train import create_state
 from damc_tpu.utils import preset
 
 
-def force_sync(x):
-    np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+from damc_tpu.utils.profiling import force_sync  # noqa: E402
+
 
 
 def make_phase(cfg, models):

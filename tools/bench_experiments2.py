@@ -16,8 +16,8 @@ from damc_tpu.models import LatentEBM
 from damc_tpu.ops.langevin import prior_langevin_auto
 
 
-def force_sync(x):
-    np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+from damc_tpu.utils.profiling import force_sync  # noqa: E402
+
 
 
 def bench(tag, fn, args, chain_steps, iters=20):

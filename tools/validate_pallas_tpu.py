@@ -15,9 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def force_sync(x):
-    """True device fence (block_until_ready can be a no-op on this platform)."""
-    np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+from damc_tpu.utils.profiling import force_sync  # noqa: E402
+
 
 sys.path.insert(0, ".")
 
