@@ -1,7 +1,11 @@
-"""Test config: force an 8-device virtual CPU mesh before JAX initializes.
+"""Test config: force an 8-device virtual CPU mesh.
 
 Multi-chip sharding is validated on virtual CPU devices (no TPU pod needed),
-per SURVEY.md §4. Must run before any jax import.
+per SURVEY.md §4. The XLA_FLAGS edit works because backend initialization is
+lazy and nothing has touched jax.devices() yet when conftest runs; the
+device-count assertion below fails IMMEDIATELY (with attribution) if that
+ever stops holding, instead of producing confusing mesh-size errors deep in
+the sharding tests.
 """
 
 import os
@@ -24,6 +28,10 @@ import jax  # noqa: E402
 # run on the virtual 8-device CPU backend deterministically.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+assert len(jax.devices()) == 8, (
+    f"virtual 8-device CPU mesh not provisioned (got {len(jax.devices())} "
+    "devices) — something initialized the JAX backend before conftest"
+)
 # Persistent compilation cache: the suite compiles many scan/conv programs;
 # cache them across runs so re-runs are fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

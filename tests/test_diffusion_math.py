@@ -134,9 +134,8 @@ class TestForwardReverse:
             jnp.zeros((3, 2)), jnp.ones((3, 2)), lam_s, lam_t, "large"
         )
         r = np.exp(-2.0 - 1.0)
-        expected_var = (1 - r) * (1.0 / (1.0 + np.exp(-2.0 * -1.0)))  # sigmoid(2)
-        sig = 1.0 / (1.0 + np.exp(-2.0))
-        expected_var = (1 - r) * sig
+        # var_large = (1 - r) * sigmoid(-logsnr_t) with logsnr_t = -2
+        expected_var = (1 - r) * (1.0 / (1.0 + np.exp(-2.0)))
         np.testing.assert_allclose(np.asarray(dist.var), expected_var, rtol=1e-5)
         np.testing.assert_allclose(
             np.asarray(jnp.exp(dist.logvar)), expected_var, rtol=1e-4

@@ -79,12 +79,14 @@ def test_gaussian_posterior_energy_no_ebm_term():
 
 
 def test_grads_do_not_leak_into_params():
-    """Params inside the energy closure must be stop-gradient'ed by caller;
-    the kernel itself must not backprop through the chain."""
+    """The KERNEL itself must not backprop through the chain: the energy
+    closure here deliberately does NOT stop-gradient `w`, so a zero grad
+    can only come from langevin_sample's own output detachment
+    (`ops/langevin.py` stop_gradient on z_final)."""
     w = jnp.array(2.0)
 
     def run(w):
-        energy = lambda z: 0.5 * jnp.sum((jax.lax.stop_gradient(w) * z) ** 2, axis=-1)
+        energy = lambda z: 0.5 * jnp.sum((w * z) ** 2, axis=-1)
         z_final, _ = langevin_sample(
             jax.random.PRNGKey(0), jnp.ones((2, 2)), energy, 5, 0.1, with_noise=False
         )
@@ -92,6 +94,16 @@ def test_grads_do_not_leak_into_params():
 
     g = jax.grad(run)(w)
     assert float(g) == 0.0
+    # Control: without the kernel's detachment the same chain DOES carry a
+    # gradient (guards against the test going vacuous again).
+    def run_manual(w):
+        z = jnp.ones((2, 2))
+        energy = lambda zz: 0.5 * jnp.sum((w * zz) ** 2, axis=-1)
+        for _ in range(5):
+            z = z - 0.5 * 0.1 * 0.1 * jax.grad(lambda zz: energy(zz).sum())(z)
+        return jnp.sum(z)
+
+    assert float(jax.grad(run_manual)(w)) != 0.0
 
 
 def test_adam_latent_descent_minimizes():

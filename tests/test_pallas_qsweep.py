@@ -52,8 +52,9 @@ def run_both(cfg, state, models, b=12):
     xemb = model.apply(params, x, method="encode")
     z_init = jax.random.normal(jax.random.PRNGKey(2), (b, model.nz))
 
-    i_arr = jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
-    grid = logsnr_schedule(i_arr / (n - 1.0), model.logsnr_min, model.logsnr_max)
+    from damc_tpu.ops.diffusion import sweep_logsnr_grid
+
+    grid, _ = sweep_logsnr_grid(n, model.logsnr_min, model.logsnr_max)
     tables = model.apply(
         params, grid, xemb, method=lambda m, g, e: m.p.sample_tables(g, e)
     )
@@ -119,10 +120,15 @@ def test_vmem_gate(setup):
     pre_t = [jnp.zeros((n, w)) for w in widths]
     assert fits_vmem(fourier, layers, pre_x, pre_t)
 
-    big_layers = [
-        tuple(jnp.zeros((14336 if i == 0 and t.ndim == 2 else 1024, 1024)) if t.ndim == 2 else jnp.zeros((1, 1024)) for i, t in enumerate(lt))
-        for lt in layers
-    ]
+    # Honest StyleGAN-width footprint (nz=7168, widths 1024): kernels at
+    # (in, 1024), biases at their real (1, 1024) — _layer_tuple order is
+    # lin_k, lin_b, skip_k, skip_b, gate_k, gate_b, hyper_k.
+    def big_layer(d_in):
+        k = lambda: jnp.zeros((d_in, 1024))
+        b = lambda: jnp.zeros((1, 1024))
+        return (k(), b(), k(), b(), k(), b(), jnp.zeros((1152, 1024)))
+
+    big_layers = [big_layer(2 * 7168)] + [big_layer(1024)] * (len(layers) - 1)
     big_px = [jnp.zeros((256, 1024))] * len(layers)
     big_pt = [jnp.zeros((100, 1024))] * len(layers)
     assert not fits_vmem(jnp.zeros((7168, 3584)), big_layers, big_px, big_pt)

@@ -28,7 +28,10 @@ def test_toy_posterior_parity():
     state, models, cfg = train_toy(cfg, iterations=200, seed=1)
     res = eval_toy_parity(state, models, cfg, n_batches=2, batch=250, gt_steps=500)
 
-    assert res["g_loss_l"] > 0  # GT chain produced something sane
+    # GT chain produced something sane: recon loss per-250-sample batch of
+    # the converged chain sits well under 1.0 in recorded runs (~0.3); a
+    # diverged-but-finite chain would void the relative parity check below.
+    assert 0 < res["g_loss_l"] < 5.0, res
     # Amortizer recon within 60% of the ground-truth chain's recon.
     assert res["g_loss_q"] < 1.6 * res["g_loss_l"], res
     # Distribution-level agreement.
