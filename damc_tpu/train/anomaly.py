@@ -123,6 +123,9 @@ def train_anomaly(
 
     auc_best = 0.0
     eval_score_fn = make_score_fn(models, cfg)
+    import time as _time
+
+    last_print = None
     # Preemption-safe loop (see train/gen_recon.py / utils/preemption.py).
     with graceful_shutdown() as shutdown:
         for it in range(start_iter, iterations):
@@ -136,7 +139,12 @@ def train_anomaly(
             state, metrics = step(state, x)
 
             if tc.print_every > 0 and it % tc.print_every == 0:
-                logger.log(it, metrics)
+                extra = {}
+                now = _time.perf_counter()
+                if last_print is not None and it > last_print[0]:
+                    extra["iters_per_s_wall"] = (it - last_print[0]) / (now - last_print[1])
+                last_print = (it, now)
+                logger.log(it, {**{k: float(v) for k, v in metrics.items()}, **extra})
             if tc.eval_every > 0 and it % tc.eval_every == 0 and test_images is not None:
                 score = evaluate_auprc(
                     jax.random.fold_in(k_eval, it),

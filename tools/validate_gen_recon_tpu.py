@@ -24,7 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=301)
     ap.add_argument("--dataset", default="cifar10",
-                    choices=["cifar10", "svhn", "celeba64"])
+                    choices=["cifar10", "svhn", "celeba64", "celebaHQ"])
+    ap.add_argument("--n_fid_samples", type=int, default=2000)
     args = ap.parse_args()
 
     import jax
@@ -53,8 +54,8 @@ def main():
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(
-            cfg.train, n_fid_samples=2000, eval_every=100, plot_every=100,
-            print_every=100,
+            cfg.train, n_fid_samples=args.n_fid_samples, eval_every=100,
+            plot_every=100, print_every=100,
         ),
     )
     feat = make_random_feature_fn(jax.random.PRNGKey(0), (res, res, 3))
