@@ -40,7 +40,7 @@ def test_full_state_roundtrip_and_exact_resume(tmp_path):
     restored = restore_checkpoint(str(tmp_path), "2", template)
 
     assert int(restored.step) == 2
-    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored), strict=True):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # Exact-resume continuity: same compiled step, identical next metrics.
@@ -49,7 +49,7 @@ def test_full_state_roundtrip_and_exact_resume(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(m_direct["q_loss"]), np.asarray(m_resumed["q_loss"])
     )
-    for a, b in zip(jax.tree.leaves(s_direct.params_e), jax.tree.leaves(s_resumed.params_e)):
+    for a, b in zip(jax.tree.leaves(s_direct.params_e), jax.tree.leaves(s_resumed.params_e), strict=True):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

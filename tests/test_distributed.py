@@ -88,10 +88,17 @@ def test_two_process_distributed_psum():
         )
         for i in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
+    try:
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        # A worker stuck in the rendezvous must not orphan its sibling.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER_OK {i} 18.0" in out, out
@@ -123,7 +130,24 @@ def test_explicit_bad_coordinator_raises():
 
 
 def test_initialize_noop_single_process():
-    """Auto-detect path in a single-process env: logs and continues."""
-    from damc_tpu.parallel.distributed import initialize_distributed
-
-    initialize_distributed()  # must not raise
+    """Auto-detect path in a FRESH single-process env (in this pytest
+    process the backend is already initialized, which would exercise only
+    the error-swallow branch): initialize_distributed() must leave a
+    working 1-process JAX."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "from damc_tpu.parallel.distributed import initialize_distributed\n"
+        "initialize_distributed()\n"
+        "assert jax.process_count() == 1, jax.process_count()\n"
+        "print('NOOP_OK', flush=True)\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=120,
+    )
+    assert "NOOP_OK" in out.stdout, out.stdout + out.stderr

@@ -27,18 +27,24 @@ pytestmark = pytest.mark.skipif(
 )
 if os.path.isdir(REF):
     sys.path.insert(0, REF)
-    # MCMC.py imports torchvision + pytorch_fid_wrapper at module level;
-    # neither is installed nor needed by the Langevin sampler under test.
+
+
+@pytest.fixture
+def reference_import_stubs(monkeypatch):
+    """MCMC.py imports torchvision + pytorch_fid_wrapper at module level;
+    neither is installed nor needed by the Langevin sampler under test.
+    Scoped via monkeypatch so the stubs never leak into other tests'
+    import space (and the stubbed src.MCMC module is evicted afterwards)."""
     for name in ("torchvision", "pytorch_fid_wrapper"):
         if name not in sys.modules:
             mod = types.ModuleType(name)
             mod.utils = types.SimpleNamespace(save_image=lambda *a, **k: None)
             mod.fid = lambda *a, **k: float("nan")
-            sys.modules[name] = mod
+            monkeypatch.setitem(sys.modules, name, mod)
 
 
 @pytest.mark.slow
-def test_recon_mse_parity_on_converted_checkpoint(tmp_path):
+def test_recon_mse_parity_on_converted_checkpoint(tmp_path, reference_import_stubs):
     import dataclasses
 
     import torch
@@ -46,7 +52,6 @@ def test_recon_mse_parity_on_converted_checkpoint(tmp_path):
     from src.diffusion_net import _netE, _netG_cifar10, _netQ_U
     from src.MCMC import sample_langevin_post_z_with_prior
 
-    from damc_tpu.cli import convert_checkpoint
     from damc_tpu.train.gen_recon import evaluate_mse
     from damc_tpu.train.state import create_state
     from damc_tpu.utils.checkpoint import restore_checkpoint
@@ -83,7 +88,6 @@ def test_recon_mse_parity_on_converted_checkpoint(tmp_path):
         },
         pth,
     )
-    out_dir = str(tmp_path / "converted")
 
     # The CLI builds the full-preset state; give it the small config by
     # converting through the library function instead.

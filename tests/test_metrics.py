@@ -24,7 +24,7 @@ class TestAUPRC:
             scores = np.round(rng.randn(400) + labels * sep, 1)  # with ties
             p, r, _ = precision_recall_curve(labels, scores)
             expected = auc(r, p)
-            np.testing.assert_allclose(auprc(scores, labels), expected, atol=1e-12)
+            np.testing.assert_allclose(auprc(scores, labels), expected, atol=1e-9)
 
     def test_perfect_classifier(self):
         labels = np.array([0, 0, 1, 1])

@@ -97,7 +97,7 @@ def test_data_parallel_matches_single_device():
     np.testing.assert_allclose(
         float(m_single["q_loss"]), float(m_dp["q_loss"]), rtol=1e-5
     )
-    for a, b in zip(jax.tree.leaves(s_single.params_q), jax.tree.leaves(s_dp.params_q)):
+    for a, b in zip(jax.tree.leaves(s_single.params_q), jax.tree.leaves(s_dp.params_q), strict=True):
         # fp32 reduction-order differences across devices: allow tiny slack
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5)
 
@@ -149,12 +149,12 @@ def test_stylegan_tp_channel_sharding_matches_replicated():
     )
     from damc_tpu.parallel import channel_sharding_tree, shard_params_channelwise
 
-    pytest_stylegan = __import__("pytest")
     import os
     if not os.path.isdir("/root/reference/workspace/src"):
-        pytest_stylegan.skip("reference oracle not available")
+        pytest.skip("reference oracle not available")
     import sys
-    sys.path.insert(0, "/root/reference/workspace/src")
+    if "/root/reference/workspace/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/workspace/src")
     import torch
     from stylegan.stylegan_generator_network import StyleGANGeneratorNet
 
@@ -172,17 +172,21 @@ def test_stylegan_tp_channel_sharding_matches_replicated():
     mesh = make_mesh(n_data=2, n_model=4)  # DP x TP over the 8 CPU devices
     params_tp = shard_params_channelwise(mesh, params, min_channels=64)
 
-    # Wide kernels must actually be sharded (1/4 per device), rest replicated.
-    sharded_leaves = [
-        x for x in jax.tree.leaves(params_tp)
-        if x.ndim >= 2 and x.shape[-1] >= 64 and x.shape[-1] % 4 == 0
-    ]
-    assert sharded_leaves, "no TP-sharded leaves found"
-    for x in sharded_leaves[:5]:
-        shard = x.addressable_shards[0].data
-        assert shard.shape[-1] == x.shape[-1] // 4
+    # EVERY wide kernel must actually be sharded (1/4 per device) and every
+    # noise buffer replicated - checked leaf-by-leaf with the real policy.
+    from damc_tpu.parallel.tp import _on_noise_path
 
-    from damc_tpu.parallel import batch_sharding, replicated
+    flat = jax.tree_util.tree_flatten_with_path(params_tp)[0]
+    n_sharded = 0
+    for path, x in flat:
+        wide = x.ndim >= 2 and x.shape[-1] >= 64 and x.shape[-1] % 4 == 0
+        shard_last = x.addressable_shards[0].data.shape[-1]
+        if wide and not _on_noise_path(path):
+            assert shard_last == x.shape[-1] // 4, (path, x.shape)
+            n_sharded += 1
+        else:
+            assert shard_last == x.shape[-1], (path, x.shape)
+    assert n_sharded > 0, "no TP-sharded leaves found"
 
     run = jax.jit(
         lambda p, w: generator_apply(p, w, resolution=32),

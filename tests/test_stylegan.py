@@ -8,7 +8,7 @@ import sys
 import numpy as np
 import pytest
 
-jnp = pytest.importorskip("jax.numpy")
+import jax.numpy as jnp
 import jax  # noqa: E402
 
 REF = "/root/reference/workspace/src"
