@@ -23,39 +23,7 @@ from damc_tpu.data.datasets import (
 )
 
 
-class FakeCursor:
-    def __init__(self, store):
-        self._store = store
-
-    def iternext(self, keys=True, values=False):
-        assert keys and not values  # the reader only lists keys
-        return iter(self._store.keys())
-
-
-class FakeTxn:
-    def __init__(self, store):
-        self._store = store
-
-    def stat(self):
-        return {"entries": len(self._store)}
-
-    def get(self, key):
-        return self._store.get(key)
-
-    def cursor(self):
-        return FakeCursor(self._store)
-
-
-class FakeEnv:
-    """Dict-backed stand-in for lmdb.Environment (ordered key -> jpeg bytes)."""
-
-    def __init__(self, store):
-        self._store = store
-
-    @contextlib.contextmanager
-    def begin(self, write=False):
-        assert not write
-        yield FakeTxn(self._store)
+from fake_lmdb import FakeEnv, FakeTxn  # noqa: E402 (shared with test_native_jpeg)
 
 
 def encode_image(arr: np.ndarray, fmt="PNG") -> bytes:

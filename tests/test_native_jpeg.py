@@ -82,41 +82,11 @@ def test_corrupt_buffer_strict_raises_and_nonstrict_flags():
 def test_lsun_batch_uses_native_path(tmp_path):
     """LSUNClassImages batch indexing over JPEG blobs routes through the
     native decoder and matches the per-item PIL path."""
-    import contextlib
-
     from damc_tpu.data.datasets import LSUNClassImages
+    from fake_lmdb import FakeEnv
 
     imgs = [smooth_image(48, 40, i) for i in range(6)]
     store = {f"k{i}".encode(): jpeg_bytes(imgs[i]) for i in range(6)}
-
-    class FakeTxn:
-        def __init__(self, s):
-            self._s = s
-
-        def stat(self):
-            return {"entries": len(self._s)}
-
-        def get(self, k):
-            return self._s.get(k)
-
-        def cursor(self):
-            class C:
-                def __init__(self, s):
-                    self._s = s
-
-                def iternext(self, keys=True, values=False):
-                    return iter(self._s.keys())
-
-            return C(self._s)
-
-    class FakeEnv:
-        def __init__(self, s):
-            self._s = s
-
-        @contextlib.contextmanager
-        def begin(self, write=False):
-            yield FakeTxn(self._s)
-
     db = LSUNClassImages(str(tmp_path), size=32, env=FakeEnv(store))
     batch = db[np.array([0, 3, 5])]
     singles = np.stack([db[0], db[3], db[5]])

@@ -83,13 +83,12 @@ def test_make_loader_falls_back_for_float_store():
     assert isinstance(loader, Loader)
 
 
+@needs_native
 def test_multithreaded_batch_order_is_deterministic():
     """Workers finish in scheduler order, but the ready buffer is keyed by
     claim sequence — a fixed seed must yield the identical batch stream
     regardless of thread count (review finding: completion-order push made
     seeded runs non-reproducible on multi-core hosts)."""
-    if not native_loader_available():
-        pytest.skip("no toolchain")
     imgs = (np.random.RandomState(0).rand(64, 8, 8, 3) * 255).astype(np.uint8)
 
     def collect(threads):
@@ -109,11 +108,10 @@ def test_multithreaded_batch_order_is_deterministic():
         np.testing.assert_array_equal(xa, xc)
 
 
+@needs_native
 def test_drop_last_false_rejected_and_falls_back():
     """The native engine implements drop_last-only; drop_last=False must
     raise (direct use) and route make_loader to the NumPy Loader."""
-    if not native_loader_available():
-        pytest.skip("no toolchain")
     from damc_tpu.data.datasets import Loader
     from damc_tpu.data.native_loader import make_loader
 

@@ -81,7 +81,12 @@ def test_sigterm_checkpoints_and_auto_resume(tmp_path):
 
     # Resume leg: picks up from the newest checkpoint and runs to completion.
     proc2 = _spawn(repo, log_dir, iters=saved + 2, resume="auto")
-    out2, _ = proc2.communicate(timeout=240)
+    try:
+        out2, _ = proc2.communicate(timeout=240)
+    finally:
+        if proc2.poll() is None:
+            proc2.kill()
+            proc2.wait()
     assert proc2.returncode == 0, out2
     assert f"resumed from {os.path.join(ckpt_dir, str(saved))}" in out2, out2
     assert f"FINAL_STEP {saved + 2}" in out2, out2

@@ -126,9 +126,28 @@ def test_driver_runs_with_lazy_dataset_through_prefetcher(tmp_path):
             plot_every=0, ckpt_every=0, eval_every=0,
         ),
     )
-    state = train_gen_recon(
-        cfg, LazyImages(40), iterations=3, log_dir=str(tmp_path), seed=0
-    )
+    # Assert the ROUTING the docstring claims: lazy stores take the NumPy
+    # Loader and get wrapped in a Prefetcher by make_stream.
+    import damc_tpu.data.prefetch as prefetch_mod
+    from damc_tpu.data.datasets import Loader
+    from damc_tpu.data.native_loader import make_loader
+
+    assert isinstance(make_loader(LazyImages(40), batch_size=8), Loader)
+    constructed = []
+    real_prefetcher = prefetch_mod.Prefetcher
+
+    class RecordingPrefetcher(real_prefetcher):
+        def __init__(self, *a, **k):
+            constructed.append(True)
+            super().__init__(*a, **k)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(prefetch_mod, "Prefetcher", RecordingPrefetcher):
+        state = train_gen_recon(
+            cfg, LazyImages(40), iterations=3, log_dir=str(tmp_path), seed=0
+        )
+    assert constructed, "lazy dataset did not route through the Prefetcher"
     assert int(state.step) == 3
     assert (tmp_path / "metrics.jsonl").exists()
 
@@ -138,15 +157,18 @@ def test_overlap_actually_happens():
     max(producer, consumer) rather than their sum."""
     def slow_gen():
         for i in range(8):
-            time.sleep(0.03)
+            time.sleep(0.05)
             yield i
 
     t0 = time.perf_counter()
     with Prefetcher(slow_gen(), depth=2) as pf:
         out = []
         for v in pf:
-            time.sleep(0.03)  # consumer work
+            time.sleep(0.05)  # consumer work
             out.append(v)
     dt = time.perf_counter() - t0
     assert out == list(range(8))
-    assert dt < 8 * 0.03 * 2 * 0.85, f"no overlap: {dt:.3f}s"
+    # Serial (no overlap) is 8*0.05*2 = 0.8 s; ideal overlap ~0.45 s. A 25%
+    # saving threshold tolerates loaded-CI sleep overshoot while still
+    # distinguishing overlap from none.
+    assert dt < 8 * 0.05 * 2 * 0.75, f"no overlap: {dt:.3f}s"

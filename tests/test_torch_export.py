@@ -37,6 +37,7 @@ def _assert_sd_equal(exported, original, skip=()):
         sorted(set(orig) ^ (set(exported) - set(skip)))
     )
     for k, v in orig.items():
+        assert exported[k].dtype == np.float32, (k, exported[k].dtype)
         np.testing.assert_array_equal(
             exported[k], np.asarray(v, np.float32), err_msg=k
         )

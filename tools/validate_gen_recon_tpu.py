@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--dataset", default="cifar10",
                     choices=["cifar10", "svhn", "celeba64", "celebaHQ"])
     ap.add_argument("--n_fid_samples", type=int, default=2000)
+    ap.add_argument("--eval_every", type=int, default=100)
     args = ap.parse_args()
 
     import jax
@@ -54,8 +55,9 @@ def main():
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(
-            cfg.train, n_fid_samples=args.n_fid_samples, eval_every=100,
-            plot_every=100, print_every=100,
+            cfg.train, n_fid_samples=args.n_fid_samples,
+            eval_every=args.eval_every, plot_every=args.eval_every,
+            print_every=100,
         ),
     )
     feat = make_random_feature_fn(jax.random.PRNGKey(0), (res, res, 3))
