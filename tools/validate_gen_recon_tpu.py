@@ -83,7 +83,7 @@ def main():
     import os
 
     assert os.path.exists(f"{log_dir}/ckpt/best"), "best ckpt missing"
-    assert os.path.exists(f"{log_dir}/imgs/100_prior.png"), "plot grids missing"
+    assert os.path.exists(f"{log_dir}/imgs/{args.eval_every}_prior.png"), "plot grids missing"
     print("GEN-RECON DRIVER OK (bs=500 FID protocol, plots, best-ckpt)", flush=True)
 
 
