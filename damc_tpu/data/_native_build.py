@@ -11,6 +11,7 @@ path), then dlopen'd via ctypes.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -27,6 +28,25 @@ def source_path(src_name: str) -> str:
     return os.path.join(_NATIVE_DIR, src_name)
 
 
+_compiler_id_cache: Optional[str] = None
+
+
+def _compiler_id() -> str:
+    """`g++ -dumpfullversion` (cached): part of the artifact cache key so a
+    toolchain upgrade invalidates previously built libraries."""
+    global _compiler_id_cache
+    if _compiler_id_cache is None:
+        try:
+            out = subprocess.run(
+                ["g++", "-dumpfullversion", "-dumpversion"],
+                capture_output=True, text=True, timeout=10,
+            )
+            _compiler_id_cache = out.stdout.strip() or "unknown"
+        except (OSError, subprocess.SubprocessError):
+            _compiler_id_cache = "unknown"
+    return _compiler_id_cache
+
+
 def build_and_load(
     src_name: str, lib_name: str, extra_flags: Sequence[str] = ()
 ) -> Tuple[Optional[ctypes.CDLL], Optional[str]]:
@@ -36,7 +56,14 @@ def build_and_load(
     toolchain or link dependencies are unavailable.
     """
     src = source_path(src_name)
-    lib_path = os.path.join(_CACHE_DIR, lib_name)
+    # Key the cached artifact on the full compile recipe (source path +
+    # flags + compiler identity), not just the source mtime: a library
+    # built with stale extra_flags or by an older g++ must not keep being
+    # dlopen'd after either changes.
+    recipe = f"{src}\x00{' '.join(extra_flags)}\x00{_compiler_id()}"
+    tag = hashlib.sha256(recipe.encode()).hexdigest()[:12]
+    base, ext = os.path.splitext(lib_name)
+    lib_path = os.path.join(_CACHE_DIR, f"{base}.{tag}{ext}")
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         if not (

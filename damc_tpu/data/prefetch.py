@@ -71,8 +71,18 @@ class Prefetcher:
         return self
 
     def __next__(self):
-        if self._terminal is None:
-            item = self._queue.get()
+        # Poll (rather than block indefinitely) so a close() racing with a
+        # consumer already inside get() still terminates: the stopped
+        # producer exits without enqueuing _End, and close() may drain the
+        # queue out from under us.
+        while self._terminal is None:
+            try:
+                item = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set():
+                    self._terminal = _End()
+                    break
+                continue
             if isinstance(item, (_End, _Error)):
                 self._terminal = item
             else:
@@ -83,6 +93,12 @@ class Prefetcher:
 
     def close(self) -> None:
         self._stop.set()
+        # Latch the terminal state FIRST: a producer stopped via the event
+        # exits without enqueuing _End, so a consumer calling __next__ after
+        # (or concurrently with) close() would otherwise block forever on
+        # queue.get().
+        if self._terminal is None:
+            self._terminal = _End()
         # Drain so a producer blocked on put() sees the stop event.
         try:
             while True:

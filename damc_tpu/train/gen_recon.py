@@ -94,9 +94,11 @@ def evaluate_fid(
 
 
 def make_recon_fn(models, cfg, langevin_steps: int = 10):
-    """Jitted fn(state, key, x) -> batch recon-MSE sum (state as argument)."""
+    """Jitted fn(state, key, x) -> per-image recon-MSE vector (state as
+    argument). Per-image output (not a batch sum) so padded tail rows can be
+    dropped host-side — the reference's drop_last=False mset protocol."""
     return jax.jit(
-        lambda state, k, x: sampling.recon_mse(
+        lambda state, k, x: sampling.recon_mse_per_image(
             sampling.reconstruct(
                 k, state, models, cfg, x, langevin_steps=langevin_steps
             )[0],
@@ -108,23 +110,27 @@ def make_recon_fn(models, cfg, langevin_steps: int = 10):
 def evaluate_mse(
     key, state, models, cfg, eval_images: np.ndarray, batch: int, recon_fn=None
 ) -> float:
-    """Test-set recon MSE: Q init + 10-step noiseless Langevin
-    (`train_gen_recon.py:324-348`)."""
+    """Test-set recon MSE: Q init + 10-step noiseless Langevin over the
+    ENTIRE eval set, divided by the true image count — the reference's
+    mloader protocol (drop_last=False, `mse_lss /= len(mset)`,
+    `train_gen_recon.py:111,324-348`). Tail batches are padded by repeating
+    the last image (keeping one compiled shape, like `train/anomaly.py`) and
+    the padded rows are excluded from the sum — valid because every recon op
+    is per-sample independent."""
     recon = recon_fn or make_recon_fn(models, cfg)
     n = len(eval_images)
     if n == 0:
         raise ValueError("evaluate_mse: empty eval set")
-    if n < batch:
-        # Smoke/tiny sets: shrink the batch rather than silently reporting
-        # 0.0 from zero processed batches (recon_fn is shape-generic; a
-        # fresh compile for the odd size is fine for a one-off eval set).
-        batch = n
-        recon = make_recon_fn(models, cfg)
+    batch = min(batch, n)
     total = 0.0
-    for i in range(0, n - n % batch, batch):
-        x = jax.numpy.asarray(eval_images[i : i + batch])
-        total += float(recon(state, jax.random.fold_in(key, i), x))
-    return total / (n - n % batch)
+    for i in range(0, n, batch):
+        x = eval_images[i : i + batch]
+        real = len(x)
+        if real < batch:
+            x = np.concatenate([x, np.repeat(x[-1:], batch - real, axis=0)], axis=0)
+        per_image = recon(state, jax.random.fold_in(key, i), jax.numpy.asarray(x))
+        total += float(jax.numpy.sum(per_image[:real]))
+    return total / n
 
 
 def train_gen_recon(

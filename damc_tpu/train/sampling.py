@@ -102,8 +102,16 @@ def reconstruct(
 def recon_mse(x_hat: jax.Array, x: jax.Array) -> jax.Array:
     """Per-image mean-square error, summed over the batch
     (`train_gen_recon.py:342`); divide by dataset size outside."""
+    return jnp.sum(recon_mse_per_image(x_hat, x))
+
+
+def recon_mse_per_image(x_hat: jax.Array, x: jax.Array) -> jax.Array:
+    """Per-image mean-square error vector (`train_gen_recon.py:342`,
+    `torch.mean((x_hat - x) ** 2, dim=[1,2,3])`). Per-image values let the
+    eval loop pad tail batches to a fixed compiled shape and then drop the
+    padded rows before summing — the reference's drop_last=False protocol."""
     b = x.shape[0]
-    return jnp.sum(jnp.mean((x_hat - x).reshape(b, -1) ** 2, axis=-1))
+    return jnp.mean((x_hat - x).reshape(b, -1) ** 2, axis=-1)
 
 
 def anomaly_scores(

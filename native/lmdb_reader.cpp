@@ -179,15 +179,27 @@ struct Env {
     return p + off;
   }
 
-  // Descend to the leaf that would contain `key`.
+  // Descend to the leaf that would contain `key`. Every failure path sets
+  // env err (via fail) so the Python binding's OSError names the corruption
+  // instead of surfacing an empty message.
   const uint8_t* find_leaf(const uint8_t* key, size_t klen) {
     const uint8_t* p = page(root);
-    for (int level = 0; p && level < 64; ++level) {
+    if (!p) {
+      fail("root page out of range during descent");
+      return nullptr;
+    }
+    for (int level = 0; level < 64; ++level) {
       uint16_t flags = rd<uint16_t>(p + 10);
       if (flags & P_LEAF) return p;
-      if (!(flags & P_BRANCH)) return nullptr;
+      if (!(flags & P_BRANCH)) {
+        fail("unexpected page flags during descent (not branch/leaf)");
+        return nullptr;
+      }
       size_t n = nkeys(p);
-      if (n == 0) return nullptr;
+      if (n == 0) {
+        fail("empty branch page during descent");
+        return nullptr;
+      }
       // Node 0's key is implicit -inf; binary search for the last node
       // whose key <= target.
       size_t lo = 1, hi = n, best = 0;
@@ -195,9 +207,15 @@ struct Env {
         size_t mid = (lo + hi) / 2;
         bool ok = true;
         const uint8_t* nd = node(p, mid, &ok);
-        if (!ok) return nullptr;
+        if (!ok) {
+          fail("branch node offset out of range during descent");
+          return nullptr;
+        }
         uint16_t ks = rd<uint16_t>(nd + 6);
-        if ((size_t)(nd - p) + 8 + ks > psize) return nullptr;
+        if ((size_t)(nd - p) + 8 + ks > psize) {
+          fail("branch node key exceeds page during descent");
+          return nullptr;
+        }
         if (cmp(nd + 8, ks, key, klen) <= 0) {
           best = mid;
           lo = mid + 1;
@@ -207,12 +225,20 @@ struct Env {
       }
       bool ok = true;
       const uint8_t* nd = node(p, best, &ok);
-      if (!ok) return nullptr;
+      if (!ok) {
+        fail("branch node offset out of range during descent");
+        return nullptr;
+      }
       uint64_t child = (uint64_t)rd<uint16_t>(nd + 0) |
                        ((uint64_t)rd<uint16_t>(nd + 2) << 16) |
                        ((uint64_t)rd<uint16_t>(nd + 4) << 32);
       p = page(child);
+      if (!p) {
+        fail("child page out of range during descent");
+        return nullptr;
+      }
     }
+    fail("B+tree too deep during descent (cycle?)");
     return nullptr;
   }
 
@@ -231,7 +257,10 @@ struct Env {
       size_t mid = (lo + hi) / 2;
       bool ok = true;
       const uint8_t* nd = node(leaf, mid, &ok);
-      if (!ok) return -1;
+      if (!ok) {
+        fail("leaf node offset out of range");
+        return -1;
+      }
       uint16_t ks = rd<uint16_t>(nd + 6);
       if ((size_t)(nd - leaf) + 8 + ks > psize) {
         fail("leaf node key exceeds page");

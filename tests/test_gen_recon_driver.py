@@ -87,3 +87,58 @@ def test_gen_recon_resume(tmp_path):
     )
     state = train_gen_recon(cfg2, imgs, iterations=4, log_dir=str(tmp_path))
     assert int(state.step) == 4  # resumed at 2, ran 2 more
+
+
+def test_evaluate_mse_protocol_non_divisible():
+    """drop_last=False parity: evaluate_mse must cover EVERY eval image and
+    divide by the true count (`train_gen_recon.py:111,345` — mloader pads
+    nothing but iterates the whole mset; `mse_lss /= len(mset)`). A
+    non-divisible set must therefore equal the batch-free per-image mean,
+    not the mean over the divisible prefix."""
+    import dataclasses
+
+    from damc_tpu.train.gen_recon import evaluate_mse, make_recon_fn
+    from damc_tpu.train.sampling import recon_mse_per_image, reconstruct
+    from damc_tpu.train.state import create_state
+
+    cfg = preset("svhn")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, ngf=8, nif=8, nxemb=16, ntemb=16, nz=8),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=2),
+        mcmc=dataclasses.replace(cfg.mcmc, g_l_steps=2),
+    )
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    n, batch = 21, 8  # 2 full batches + tail of 5
+    x = np.random.RandomState(3).uniform(-1, 1, (n, 32, 32, 3)).astype(np.float32)
+
+    key = jax.random.PRNGKey(9)
+    got = evaluate_mse(key, state, models, cfg, x, batch)
+
+    # Oracle: per-image MSE computed batch-by-batch with the same keys the
+    # eval loop folds in, summed over ALL n images, divided by n.
+    total = 0.0
+    for i in range(0, n, batch):
+        xb = x[i : i + batch]
+        real = len(xb)
+        if real < batch:  # same padded shape => same compiled program & key
+            xb = np.concatenate([xb, np.repeat(xb[-1:], batch - real, axis=0)])
+        x_hat, _ = reconstruct(
+            jax.random.fold_in(key, i), state, models, cfg,
+            jax.numpy.asarray(xb), langevin_steps=10,
+        )
+        total += float(jax.numpy.sum(recon_mse_per_image(x_hat, jax.numpy.asarray(xb))[:real]))
+    expect = total / n
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    # Tiny-set path must reuse the caller's recon_fn (its langevin_steps),
+    # not silently rebuild with defaults.
+    probe = {"called": 0}
+    rf = make_recon_fn(models, cfg, langevin_steps=1)
+
+    def counting_rf(st, k, xb):
+        probe["called"] += 1
+        return rf(st, k, xb)
+
+    evaluate_mse(key, state, models, cfg, x[:3], batch, recon_fn=counting_rf)
+    assert probe["called"] == 1
