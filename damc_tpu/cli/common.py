@@ -132,6 +132,33 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     # misc
     p.add_argument("--label", type=int, default=None, help="anomaly held-out digit")
     p.add_argument("--use_mesh", action="store_true", help="data-parallel over all devices")
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed BEFORE any backend use (TPU pods: "
+        "auto-detected from the environment; implies --use_mesh over the "
+        "resulting global device set). Manual setups also set "
+        "--coordinator_address/--num_processes/--process_id.",
+    )
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (with --multihost)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+
+
+def maybe_init_multihost(args) -> None:
+    """Call FIRST in a CLI main(), before enable_compile_cache or any jax
+    backend query — jax.distributed.initialize refuses to run once XLA is
+    initialized. Makes --multihost imply --use_mesh (a multi-host run with
+    an unsharded step would silently compute on device 0 of each host)."""
+    if getattr(args, "multihost", False):
+        from ..parallel.distributed import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        args.use_mesh = True
 
 
 def config_from_args(args, preset_name: Optional[str] = None) -> Config:

@@ -22,8 +22,9 @@ def main(argv=None):
     add_common_flags(p)
     args = p.parse_args(argv)
 
-    from .common import enable_compile_cache
+    from .common import enable_compile_cache, maybe_init_multihost
 
+    maybe_init_multihost(args)  # must precede any jax backend use
     enable_compile_cache()
     cfg = config_from_args(args)
     log_dir = make_log_dir(cfg)

@@ -55,5 +55,18 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def replicate(mesh: Mesh, tree):
-    """Device-put a pytree fully replicated over the mesh."""
-    return jax.device_put(tree, replicated(mesh))
+    """Device-put a pytree fully replicated over the mesh.
+
+    On a multi-host mesh a plain device_put would target non-addressable
+    devices; instead each process contributes its (identical, same-seed)
+    local copy via make_array_from_process_local_data — for a fully
+    replicated spec the local data IS the global array."""
+    sh = replicated(mesh)
+    if any(d.process_index != jax.process_index() for d in mesh.devices.flat):
+        import numpy as np
+
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree,
+        )
+    return jax.device_put(tree, sh)

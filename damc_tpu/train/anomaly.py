@@ -16,17 +16,22 @@ import numpy as np
 
 from ..data.native_loader import make_loader
 from ..metrics.prauc import auprc
-from ..parallel import batch_sharding, make_mesh
+from ..parallel import make_mesh
 from ..utils.config import Config
-from ..utils.checkpoint import save_checkpoint
 from ..utils.preemption import graceful_shutdown
 from ..utils.logging import MetricsLogger
 from . import sampling
 from .state import DAMCState, ModelBundle, create_state
+from ..utils.checkpoint import save_checkpoint
 from .driver_utils import (
+    host_local_state,
+    is_primary_host,
+    local_batch_size,
     make_step_fn,
     make_stream,
+    metric_float,
     preemption_checkpoint,
+    put_batch,
     restore_for_resume,
 )
 
@@ -101,8 +106,13 @@ def train_anomaly(
     tc = cfg.train
     seed = tc.seed if seed is None else seed
     iterations = tc.iterations if iterations is None else iterations
-    logger = MetricsLogger(log_dir)
+    # Multi-host: checkpoints are all-host orbax saves; jsonl is
+    # primary-only (see train/gen_recon.py).
+    multihost = jax.process_count() > 1
     ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
+    if multihost and not is_primary_host():
+        log_dir = None
+    logger = MetricsLogger(log_dir)
 
     key = jax.random.PRNGKey(seed)
     k_init, k_eval = jax.random.split(key)
@@ -113,11 +123,11 @@ def train_anomaly(
 
     loader = make_loader(
         train_images,
-        batch_size=tc.batch_size,
+        batch_size=local_batch_size(tc.batch_size),
         shuffle=True,
         drop_last=True,
         augment_flip=False,  # no flip aug in anomaly (`train_anomaly_det.py:49-56`)
-        seed=seed,
+        seed=seed + jax.process_index() * 7919,
     )
     stream = make_stream(loader)
 
@@ -133,9 +143,7 @@ def train_anomaly(
                 preemption_checkpoint(shutdown, ckpt_dir, it, state)
                 break
             x_np, _ = next(stream)
-            x = jax.device_put(
-                x_np, batch_sharding(mesh) if mesh is not None else None
-            )
+            x = put_batch(mesh, x_np)
             state, metrics = step(state, x)
 
             if tc.print_every > 0 and it % tc.print_every == 0:
@@ -144,11 +152,14 @@ def train_anomaly(
                 if last_print is not None and it > last_print[0]:
                     extra["iters_per_s_wall"] = (it - last_print[0]) / (now - last_print[1])
                 last_print = (it, now)
-                logger.log(it, {**{k: float(v) for k, v in metrics.items()}, **extra})
+                logger.log(it, {**{k: metric_float(v) for k, v in metrics.items()}, **extra})
             if tc.eval_every > 0 and it % tc.eval_every == 0 and test_images is not None:
+                # Multi-host: per-sample scores run redundantly per host on
+                # a host-local state copy (identical replicated values).
                 score = evaluate_auprc(
                     jax.random.fold_in(k_eval, it),
-                    state, models, cfg, test_images, test_labels,
+                    host_local_state(state) if multihost else state,
+                    models, cfg, test_images, test_labels,
                     score_fn=eval_score_fn,
                 )
                 if score > auc_best:

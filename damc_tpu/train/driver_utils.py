@@ -67,6 +67,53 @@ def make_step_fn(models, opts, cfg, mesh, state):
     return step, state
 
 
+def put_batch(mesh, x_np):
+    """Device-put one training batch for the step fn.
+
+    Single-host mesh: shard rows over `data`. Multi-host mesh: `x_np` is this
+    HOST's local slice of the global batch (global = local * process_count);
+    assemble via make_global_batch so rows land on the host that loaded them
+    (a plain device_put to a cross-process sharding would fail on the
+    non-addressable devices)."""
+    if mesh is None:
+        return jax.device_put(x_np)
+    if jax.process_count() > 1:
+        from ..parallel.distributed import make_global_batch
+
+        return make_global_batch(mesh, x_np)
+    return jax.device_put(x_np, batch_sharding(mesh))
+
+
+def local_batch_size(global_batch: int) -> int:
+    """Per-host share of the global training batch (multi-host runs feed
+    per-host loader slices; single-process returns global_batch)."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch_size {global_batch} must divide across "
+            f"{n} processes"
+        )
+    return global_batch // n
+
+
+def is_primary_host() -> bool:
+    return jax.process_index() == 0
+
+
+def host_local_state(state):
+    """Pull a (replicated) multi-host state down to host-local numpy so it
+    can be checkpointed / evaluated without touching non-addressable
+    devices. No-op copy semantics for fully-addressable arrays."""
+    import numpy as np
+
+    def pull(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return np.asarray(a.addressable_data(0))
+        return a
+
+    return jax.tree.map(pull, state)
+
+
 def make_stream(loader):
     """loader.stream(), with background prefetch for loaders that do not
     already overlap batch assembly (the native C++ engine does)."""
@@ -78,8 +125,22 @@ def make_stream(loader):
     return stream
 
 
+def metric_float(v) -> float:
+    """Host float from a metric that may live replicated on a multi-host
+    mesh (plain float() raises on non-fully-addressable arrays)."""
+    import numpy as np
+
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        return float(np.asarray(v.addressable_data(0)))
+    return float(v)
+
+
 def preemption_checkpoint(shutdown, ckpt_dir: Optional[str], it: int, state) -> None:
-    """Save the full state at a signal-interrupted iteration boundary."""
+    """Save the full state at a signal-interrupted iteration boundary.
+
+    Multi-host note: orbax coordinates multi-process saves internally (all
+    processes must reach this call — true for a pod-wide SIGTERM, which is
+    how preemption is delivered on TPU pods)."""
     if ckpt_dir:
         jax.block_until_ready(state)
         path = save_checkpoint(ckpt_dir, str(it), state)

@@ -20,16 +20,21 @@ from ..data.native_loader import make_loader
 from ..metrics.fid import compute_stats, fid_from_samples, images_to_unit
 from ..parallel import batch_sharding, make_mesh
 from ..utils.config import Config
-from ..utils.checkpoint import save_checkpoint
 from ..utils.preemption import graceful_shutdown
 from ..utils.logging import MetricsLogger, save_image_grid
 from ..utils.profiling import StepTimer
 from . import sampling
 from .state import DAMCState, create_state
+from ..utils.checkpoint import save_checkpoint
 from .driver_utils import (
+    host_local_state,
+    is_primary_host,
+    local_batch_size,
     make_step_fn,
     make_stream,
+    metric_float,
     preemption_checkpoint,
+    put_batch,
     restore_for_resume,
 )
 
@@ -149,9 +154,16 @@ def train_gen_recon(
     tc = cfg.train
     seed = tc.seed if seed is None else seed
     iterations = tc.iterations if iterations is None else iterations
+    # Multi-host: every process runs the same global programs. Checkpoints
+    # go through orbax, which coordinates multi-process saves itself (ALL
+    # hosts call save; log_dir must be a shared path). jsonl metrics and
+    # image grids are primary-host-only.
+    multihost = jax.process_count() > 1
+    ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
+    if multihost and not is_primary_host():
+        log_dir = None
     logger = MetricsLogger(log_dir)
     img_dir = os.path.join(log_dir, "imgs") if log_dir else None
-    ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
 
     key = jax.random.PRNGKey(seed)
     # Disjoint streams per consumer: plot / FID-damc / FID-ebm / MSE must
@@ -174,13 +186,16 @@ def train_gen_recon(
         )
 
     # Native C++ batch engine for uint8 stores; NumPy fallback otherwise.
+    # Multi-host: each host loads its per-host share of the global batch
+    # (disjoint shuffles via a per-process seed offset); put_batch assembles
+    # the global array.
     loader = make_loader(
         train_images,
-        batch_size=tc.batch_size,
+        batch_size=local_batch_size(tc.batch_size),
         shuffle=True,
         drop_last=True,
         augment_flip=True,
-        seed=seed,
+        seed=seed + jax.process_index() * 7919,
     )
     stream = make_stream(loader)
 
@@ -228,15 +243,13 @@ def train_gen_recon(
                 break
             with timer.phase("data"):
                 x_np, _ = next(stream)
-                x = jax.device_put(
-                    x_np, batch_sharding(mesh) if mesh is not None else None
-                )
+                x = put_batch(mesh, x_np)
             with timer.phase("train_step"):
                 state, metrics = step(state, x)
 
             if tc.print_every > 0 and it % tc.print_every == 0:
                 jax.block_until_ready(metrics)
-                host_metrics = {k: float(v) for k, v in metrics.items()}
+                host_metrics = {k: metric_float(v) for k, v in metrics.items()}
                 # Failure detection (the reference trains blind; SURVEY.md §5):
                 # a NaN in any loss means the run is dead — fail loudly with
                 # context instead of burning TPU hours.
@@ -254,7 +267,10 @@ def train_gen_recon(
                     )
                 last_print = (it, now)
                 logger.log(it, {**host_metrics, **timer.report(), **extra})
-            if img_dir and tc.plot_every > 0 and it % tc.plot_every == 0:
+            if img_dir and not multihost and tc.plot_every > 0 and it % tc.plot_every == 0:
+                # (multi-host: grid plotting needs host-global arrays; the
+                # primary's img_dir still receives the FID-eval grids via
+                # the sharded generation path below when single-host.)
                 # Grid dumps mirroring `train_gen_recon.py:267-280`: observations,
                 # posterior recon (Q init + Langevin), Q-only recon, prior samples.
                 k_plot = jax.random.fold_in(k_plot_base, it)
@@ -273,28 +289,34 @@ def train_gen_recon(
             if tc.eval_every > 0 and it % tc.eval_every == 0:
                 eval_metrics: Dict[str, float] = {}
                 name = fid_metric_name
+                # Multi-host: sample grids need host-global image arrays;
+                # the sharded FID statistics themselves reduce across hosts.
+                grids = img_dir if not multihost else None
                 if feature_fn is not None and real_mu is not None:
                     eval_metrics[f"{name}_damc"] = evaluate_fid(
                         jax.random.fold_in(k_fid_damc, it),
                         state, models, cfg, feature_fn, real_mu, real_sigma,
                         tc.n_fid_samples, fid_bs, prior="damc", mesh=mesh,
                         batch_fn=fid_damc_fn,
-                        grid_path=f"{img_dir}/{it}_fid_damc.png" if img_dir else None,
+                        grid_path=f"{grids}/{it}_fid_damc.png" if grids else None,
                     )
                     eval_metrics[f"{name}_ebm"] = evaluate_fid(
                         jax.random.fold_in(k_fid_ebm, it),
                         state, models, cfg, feature_fn, real_mu, real_sigma,
                         tc.n_fid_samples, fid_bs, prior="ebm", mesh=mesh,
                         batch_fn=fid_ebm_fn,
-                        grid_path=f"{img_dir}/{it}_fid_ebm.png" if img_dir else None,
+                        grid_path=f"{grids}/{it}_fid_ebm.png" if grids else None,
                     )
                 # MSE eval is independent of FID availability (the reference
                 # evaluates it whenever the interval fires,
-                # `train_gen_recon.py:324-348`).
+                # `train_gen_recon.py:324-348`). Multi-host: per-sample
+                # independent recon runs redundantly per host on a
+                # host-local state copy (same replicated values).
                 if mse_images is not None:
                     eval_metrics["recon_mse"] = evaluate_mse(
                         jax.random.fold_in(k_mse, it),
-                        state, models, cfg, mse_images, tc.batch_size,
+                        host_local_state(state) if multihost else state,
+                        models, cfg, mse_images, tc.batch_size,
                         recon_fn=recon_fn,
                     )
                     mse_best = min(mse_best, eval_metrics["recon_mse"])

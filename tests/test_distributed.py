@@ -151,3 +151,196 @@ def test_initialize_noop_single_process():
         timeout=120,
     )
     assert "NOOP_OK" in out.stdout, out.stdout + out.stderr
+
+
+TRAIN_WORKER = """
+import json
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, {repo!r})
+import numpy as np
+from damc_tpu.parallel.distributed import (
+    global_mesh, initialize_distributed, make_global_batch,
+)
+
+initialize_distributed(coordinator_address=coord, num_processes=nproc, process_id=pid)
+mesh = global_mesh()
+assert mesh.devices.size == nproc
+
+from tests.train_step_fixture import run_steps, tiny_cfg
+
+cfg = tiny_cfg(batch_size=8)
+full = np.random.RandomState(42).uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+local = full[pid * 4 : (pid + 1) * 4]
+metrics = run_steps(cfg, mesh, lambda m: make_global_batch(m, local), n_steps=3)
+print("TRAIN_METRICS", json.dumps(metrics), flush=True)
+"""
+
+ORACLE_WORKER = """
+import json
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+import numpy as np
+from damc_tpu.parallel import batch_sharding, make_mesh
+
+mesh = make_mesh()
+assert mesh.devices.size == 2
+
+from tests.train_step_fixture import run_steps, tiny_cfg
+
+cfg = tiny_cfg(batch_size=8)
+full = np.random.RandomState(42).uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+metrics = run_steps(cfg, mesh, lambda m: jax.device_put(full, batch_sharding(m)), n_steps=3)
+print("TRAIN_METRICS", json.dumps(metrics), flush=True)
+"""
+
+
+def _metrics_from(out: str):
+    import json
+
+    for line in out.splitlines():
+        if line.startswith("TRAIN_METRICS "):
+            return json.loads(line[len("TRAIN_METRICS "):])
+    raise AssertionError(f"no TRAIN_METRICS line in:\n{out}")
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process():
+    """THE multi-host train-step guarantee: `make_train_step` jitted over a
+    global mesh spanning two REAL processes (1 CPU device each, DCN-style
+    collectives) produces the same per-step metrics as the identical config
+    run in one process over a 2-device mesh. Same seed => same threefry
+    streams; the only difference is where the psum crosses a process
+    boundary."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # 1 local CPU device per distributed process
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", TRAIN_WORKER.format(repo=REPO), str(i), "2", coord],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    env_oracle = dict(os.environ)
+    env_oracle["JAX_PLATFORMS"] = "cpu"
+    env_oracle["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    oracle = subprocess.run(
+        [sys.executable, "-c", ORACLE_WORKER.format(repo=REPO)],
+        env=env_oracle, capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert oracle.returncode == 0, oracle.stdout + oracle.stderr
+
+    expect = _metrics_from(oracle.stdout)
+    for i, out in enumerate(outs):
+        got = _metrics_from(out)
+        assert set(got) == set(expect)
+        for k in expect:
+            assert abs(got[k] - expect[k]) <= 2e-4 * max(abs(expect[k]), 1.0), (
+                i, k, got[k], expect[k],
+            )
+
+
+DRIVER_WORKER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, coord, log_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+sys.path.insert(0, {repo!r})
+from damc_tpu.parallel.distributed import initialize_distributed
+
+initialize_distributed(coordinator_address=coord, num_processes=nproc, process_id=pid)
+
+import dataclasses
+import numpy as np
+from damc_tpu.metrics.fid import make_random_feature_fn
+from damc_tpu.train.gen_recon import train_gen_recon
+from damc_tpu.train.driver_utils import metric_float
+from damc_tpu.utils.config import preset
+
+cfg = preset("svhn")
+cfg = dataclasses.replace(
+    cfg,
+    model=dataclasses.replace(cfg.model, ngf=8, nif=8, nxemb=16, ntemb=16, nz=8),
+    diffusion=dataclasses.replace(cfg.diffusion, n_interval=2),
+    mcmc=dataclasses.replace(cfg.mcmc, g_l_steps=2, e_l_steps=2),
+    train=dataclasses.replace(
+        cfg.train, batch_size=8, q_updates=1, n_fid_samples=16,
+        fid_batch_size=8, eval_every=2, print_every=1, plot_every=2,
+        ckpt_every=2,
+    ),
+)
+imgs = np.random.RandomState(0).randint(0, 256, (64, 32, 32, 3), np.uint8)
+feat = make_random_feature_fn(jax.random.PRNGKey(0), (32, 32, 3), dim=16)
+state = train_gen_recon(
+    cfg, imgs, fid_images=imgs[:32],
+    mse_images=imgs[:20].astype(np.float32) / 255.0 * 2 - 1,  # tail-padded batch
+    feature_fn=feat, iterations=3, log_dir=log_dir, use_mesh=True,
+)
+print("DRIVER_OK", pid, int(metric_float(state.step)), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_full_driver(tmp_path):
+    """The COMPLETE gen_recon driver (fused step + sharded FID eval + padded
+    MSE eval + best-checkpoint gating) running across two real processes via
+    the same path `--multihost` wires up. Primary writes metrics/ckpt; both
+    hosts participate in the orbax save and the sharded FID reduction."""
+    coord = f"127.0.0.1:{_free_port()}"
+    log_dir = str(tmp_path / "run")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", DRIVER_WORKER.format(repo=REPO),
+             str(i), "2", coord, log_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"DRIVER_OK {i} 3" in out, out
+
+    import json
+
+    records = [json.loads(l) for l in open(os.path.join(log_dir, "metrics.jsonl"))]
+    evals = [r for r in records if r["phase"] == "eval"]
+    assert evals and {"fid_damc", "fid_ebm", "recon_mse"} <= set(evals[0]), evals
+    assert all(
+        abs(v) < 1e9 for r in evals for k, v in r.items() if k.startswith("fid")
+    )
+    assert os.path.isdir(os.path.join(log_dir, "ckpt", "2"))   # periodic ckpt
+    assert os.path.isdir(os.path.join(log_dir, "ckpt", "best"))  # gated ckpt
