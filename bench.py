@@ -25,12 +25,16 @@ Secondary fields (same JSON line):
   * `sampling_phase_chain_steps_per_sec` — the full per-iteration sampling
     phase of CIFAR-10 gen_recon at reference hyperparameters (100-step
     amortized reverse sweep + 30-step posterior Langevin + 60-step prior
-    Langevin over 2B chains, B=128, full model sizes) in one jit. This
-    phase is ~96% posterior Langevin = conv G forward+input-backward at
-    ~73% of v5e bf16 matmul roofline — compute-bound, and a v5e has only
-    ~2.6x an A6000's dense FLOPs, so its ratio vs the same 82k
-    chain-steps/s estimate is bounded near ~3.4x by physics, not software
-    (bf16 compute_dtype measured: +4%; batch 256/512: +0-6%).
+    Langevin over 2B chains, B=128, full model sizes) in one jit. The JSON
+    now carries its own proof: an ANALYTIC FLOPs model (utils/flops.py,
+    exact MAC counts validated against XLA cost_analysis on un-scanned
+    applies — XLA's cost analysis counts scan bodies once and cannot audit
+    the phase itself), achieved TFLOP/s, and MFU vs the chip's dense bf16
+    peak. The phase is dominated (~95% of FLOPs) by the 30-step posterior
+    Langevin's G fwd+input-bwd convs and runs near the one-pass-bf16 f32
+    matmul rate (measured 148 TFLOP/s on a chained 4096^2 matmul,
+    artifacts/mfu_probe.json) — which is exactly why bf16 compute_dtype
+    moved it only ~4%: f32 matmuls already execute on the MXU at bf16 rate.
   * `langevin_kernel_single_call_*` — the same kernel as a standalone
     dispatch (600 steps amortize the tunnel's per-call overhead).
   * `reverse_sweep_denoiser_evals_per_sec` — the deployed 100-step
@@ -136,6 +140,37 @@ def bench_reverse_sweep(models, state, cfg, B=128) -> float:
     return B * cfg.diffusion.n_interval / dt
 
 
+# Dense bf16 peak FLOP/s per chip by device_kind substring (public specs);
+# used for the MFU fields (mfu_probe.py uses the same table).
+PEAK_BF16 = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+}
+
+
+def peak_bf16_flops():
+    dk = jax.devices()[0].device_kind.lower()
+    for key in ("v5 lite", "v5e", "v6 lite", "v6e", "v5p", "v4"):
+        if key in dk:
+            return PEAK_BF16[key]
+    return None
+
+
+def xla_cost_flops(jitted, args):
+    """Analytic FLOPs of the compiled program per XLA's own cost model."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
 def bench_sampling_phase(models, state, cfg, B=128) -> float:
     """Full gen_recon sampling phase (Q sweep + posterior + prior) in one jit."""
     mc = cfg.mcmc
@@ -169,7 +204,37 @@ def bench_sampling_phase(models, state, cfg, B=128) -> float:
     args = (state.params_q_ema, state.params_g, state.params_e, x, jax.random.PRNGKey(2))
     dt = timed(sampling_phase, args, iters=20)
     chain_steps = B * (cfg.diffusion.n_interval + mc.g_l_steps + 2 * mc.e_l_steps)
-    return chain_steps / dt
+
+    # MFU evidence (round-3): analytic FLOPs model (utils/flops.py — exact
+    # MAC counts from the same layer specs the models are built from,
+    # validated vs XLA cost_analysis on UN-scanned applies in
+    # tests/test_flops_model.py) over the amortized wall. NOTE: XLA's
+    # cost_analysis counts a lax.scan body ONCE, not x trip-count, so it
+    # under-reports this 190-serial-step phase ~30x — it is recorded here
+    # only as that cautionary cross-check. Resolution of round 2's
+    # "73% roofline vs +4% bf16" tension: BOTH are right — TPU executes
+    # f32 matmuls at the one-pass-bf16 MXU rate by default (measured
+    # 148 vs 178 TFLOP/s, artifacts/mfu_probe.json), so an fp32-path
+    # program near the roofline gains little from bf16 operands.
+    from damc_tpu.utils.flops import sampling_phase_flops
+
+    model = sampling_phase_flops(cfg, B)
+    flops = model["total"]
+    xla_flops = xla_cost_flops(sampling_phase, args)
+    peak = peak_bf16_flops()
+    mfu = {
+        "sampling_phase_analytic_flops": flops,
+        "sampling_phase_flops_breakdown": {
+            k: round(model[k] / 1e9, 2) for k in ("sweep", "posterior", "prior")
+        },
+        "sampling_phase_xla_cost_flops_scan_body_once": xla_flops,
+        "sampling_phase_wall_s": round(dt, 6),
+        "sampling_phase_achieved_tflops": round(flops / dt / 1e12, 3),
+        "sampling_phase_mfu_vs_bf16_peak": (
+            round(flops / dt / peak, 5) if peak else None
+        ),
+    }
+    return chain_steps / dt, mfu
 
 
 def main():
@@ -182,7 +247,7 @@ def main():
     kernel_deployed = bench_kernel_as_deployed(models, state, cfg)
     kernel_single = bench_kernel_single_call(models, state, cfg)
     sweep = bench_reverse_sweep(models, state, cfg)
-    phase = bench_sampling_phase(models, state, cfg)
+    phase, mfu = bench_sampling_phase(models, state, cfg)
 
     print(
         json.dumps(
@@ -205,6 +270,7 @@ def main():
                 "sampling_phase_vs_baseline": round(
                     phase / A6000_PHASE_CHAIN_STEPS_PER_SEC, 2
                 ),
+                **mfu,
             }
         )
     )

@@ -1,0 +1,95 @@
+"""Validate the analytic FLOPs model against XLA's own cost analysis.
+
+XLA cost_analysis counts a lax.scan body once (not x trip-count), so it
+CANNOT audit the full sampling phase — but it is exact on un-scanned single
+applies. Each model component's analytic forward count must match XLA's
+conv/dot FLOPs within tolerance (XLA additionally counts elementwise work
+and exact edge clipping, so bounds are one-sided-ish but kept loose).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from damc_tpu.models.ebm import LatentEBM
+from damc_tpu.models.encoders import make_encoder
+from damc_tpu.models.generators import make_generator
+from damc_tpu.utils.flops import (
+    ebm_fwd_flops,
+    encoder_fwd_flops,
+    generator_fwd_flops,
+    sampling_phase_flops,
+)
+
+B = 8
+
+
+def xla_flops(fn, *args):
+    ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+def rel_err(a, b):
+    return abs(a - b) / max(abs(b), 1e-9)
+
+
+@pytest.mark.parametrize("dataset,ngf,nz", [("cifar10", 128, 128), ("svhn", 64, 100)])
+def test_generator_fwd_matches_xla(dataset, ngf, nz):
+    g = make_generator(dataset, ngf, 3)
+    params = g.init(jax.random.PRNGKey(0), jnp.zeros((B, nz)))
+    got = xla_flops(lambda p, z: g.apply(p, z), params, jnp.zeros((B, nz)))
+    want = B * generator_fwd_flops(dataset, ngf, 3, nz)
+    # ConvTranspose edge clipping means analytic >= XLA; elementwise adds a
+    # little back. Within 15%.
+    assert rel_err(got, want) < 0.15, (got, want)
+
+
+def test_encoder_fwd_matches_xla():
+    enc = make_encoder("cifar10", 1024, 64)
+    x = jnp.zeros((B, 32, 32, 3))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    got = xla_flops(lambda p, xx: enc.apply(p, xx), params, x)
+    want = B * encoder_fwd_flops("cifar10", 1024, 64, 32)
+    assert rel_err(got, want) < 0.15, (got, want)
+
+
+def test_ebm_fwd_matches_xla():
+    e = LatentEBM(ndf=200)
+    z = jnp.zeros((B, 128))
+    params = e.init(jax.random.PRNGKey(0), z)
+    got = xla_flops(lambda p, zz: e.apply(p, zz), params, z)
+    want = B * ebm_fwd_flops(128, 200)
+    assert rel_err(got, want) < 0.10, (got, want)
+
+
+def test_grad_costs_twice_forward():
+    """The model charges fwd + input-bwd = 2x fwd for grad-z of G; XLA's
+    count of the same grad program agrees (weight grads are sliced away by
+    stop_gradient + closure, leaving fwd + transposed convs)."""
+    g = make_generator("cifar10", 128, 3)
+    z = jnp.zeros((B, 128))
+    params = g.init(jax.random.PRNGKey(0), z)
+    x = jnp.zeros((B, 32, 32, 3))
+
+    def energy(zz):
+        sg = jax.lax.stop_gradient(params)
+        return jnp.sum((g.apply(sg, zz) - x) ** 2)
+
+    got = xla_flops(jax.grad(energy), z)
+    want = B * 2.0 * generator_fwd_flops("cifar10", 128, 3, 128)
+    assert rel_err(got, want) < 0.25, (got, want)
+
+
+def test_phase_total_dominated_by_posterior():
+    """Structural sanity at the cifar10 preset: the posterior Langevin conv
+    chain carries ~95% of the phase FLOPs (the basis of the perf story in
+    bench.py — small-kernel sweep + MLP prior are not the wall)."""
+    from damc_tpu.utils.config import preset
+
+    f = sampling_phase_flops(preset("cifar10"), batch=128)
+    assert f["posterior"] / f["total"] > 0.9
+    # Scale check against the hand number in bench.py's docstring era:
+    # ~2.2 GFLOP per G forward at ngf=128.
+    assert 1.8e9 < f["generator_fwd_per_image"] < 2.6e9
