@@ -134,7 +134,8 @@ def _stub_reference_deps():
             sys.modules[name] = mod
 
 
-def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=None):
+def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=None,
+                  progress_cb=None, progress_every=0):
     """The reference training loop (`train_gen_recon.py:179-261` semantics),
     executed with the reference's OWN modules from /root/reference/workspace,
     initialized from the exported damc checkpoint. Returns the same trajectory
@@ -246,6 +247,8 @@ def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=Non
         traj["q_loss"].append(float(q_loss))
         traj["e_pos"].append(float(e_pos.mean()))
         traj["e_neg"].append(float(e_neg.mean()))
+        if progress_cb and progress_every and (it + 1) % progress_every == 0:
+            progress_cb(it + 1, traj)
 
     nets = {"G": G, "Q": Q, "Q_dummy": Q_dummy, "E": E}
     return {k: np.asarray(v) for k, v in traj.items()}, nets
