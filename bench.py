@@ -140,24 +140,10 @@ def bench_reverse_sweep(models, state, cfg, B=128) -> float:
     return B * cfg.diffusion.n_interval / dt
 
 
-# Dense bf16 peak FLOP/s per chip by device_kind substring (public specs);
-# used for the MFU fields (mfu_probe.py uses the same table).
-PEAK_BF16 = {
-    "v4": 275e12,
-    "v5 lite": 197e12,
-    "v5e": 197e12,
-    "v5p": 459e12,
-    "v6 lite": 918e12,
-    "v6e": 918e12,
-}
-
-
 def peak_bf16_flops():
-    dk = jax.devices()[0].device_kind.lower()
-    for key in ("v5 lite", "v5e", "v6 lite", "v6e", "v5p", "v4"):
-        if key in dk:
-            return PEAK_BF16[key]
-    return None
+    from damc_tpu.utils.flops import peak_bf16_flops as peak
+
+    return peak(jax.devices()[0].device_kind)
 
 
 def xla_cost_flops(jitted, args):
@@ -171,8 +157,9 @@ def xla_cost_flops(jitted, args):
         return None
 
 
-def bench_sampling_phase(models, state, cfg, B=128) -> float:
-    """Full gen_recon sampling phase (Q sweep + posterior + prior) in one jit."""
+def bench_sampling_phase(models, state, cfg, B=128):
+    """Full gen_recon sampling phase (Q sweep + posterior + prior) in one
+    jit. Returns (chain_steps_per_sec, mfu_fields_dict)."""
     mc = cfg.mcmc
 
     @jax.jit

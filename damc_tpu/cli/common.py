@@ -232,15 +232,29 @@ def config_from_args(args, preset_name: Optional[str] = None) -> Config:
 def make_log_dir(cfg: Config) -> str:
     """Timestamped run dir with the full config serialized for provenance
     (supersedes the reference's self-copy of the launch script,
-    `train_gen_recon.py:46`)."""
+    `train_gen_recon.py:46`).
+
+    Multi-host: ALL processes must agree on this path — the orbax
+    checkpoint save is a coordinated all-host write, and per-host clocks
+    differ, so process 0's timestamp is broadcast to everyone."""
     import dataclasses as dc
     import json
 
+    import jax
+
     stamp = dt.datetime.now().strftime("%Y%m%d_%H%M%S")
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        raw = np.frombuffer(stamp.encode(), np.uint8)
+        stamp = bytes(
+            np.asarray(multihost_utils.broadcast_one_to_all(raw))
+        ).decode()
     log_dir = osp.join(cfg.train.log_path, cfg.model.dataset, stamp)
     os.makedirs(log_dir, exist_ok=True)
-    with open(osp.join(log_dir, "config.json"), "w") as f:
-        json.dump(dc.asdict(cfg), f, indent=2, default=str)
+    if jax.process_index() == 0:
+        with open(osp.join(log_dir, "config.json"), "w") as f:
+            json.dump(dc.asdict(cfg), f, indent=2, default=str)
     return log_dir
 
 

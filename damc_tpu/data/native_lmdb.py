@@ -41,8 +41,10 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.damc_lmdb_keys_size.argtypes = [ctypes.c_void_p]
     lib.damc_lmdb_keys_fill.restype = ctypes.c_int64
     lib.damc_lmdb_keys_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
-    lib.damc_lmdb_error.restype = ctypes.c_char_p
-    lib.damc_lmdb_error.argtypes = [ctypes.c_void_p]
+    lib.damc_lmdb_error.restype = None
+    lib.damc_lmdb_error.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t
+    ]
     lib.damc_lmdb_close.restype = None
     lib.damc_lmdb_close.argtypes = [ctypes.c_void_p]
 
@@ -122,6 +124,13 @@ class NativeLMDBEnv:
             raise RuntimeError("env is closed")
         return _Txn(self)
 
+    def _last_error(self) -> str:
+        # Copies the error under the native lock (the raw c_str() pointer
+        # raced concurrent error writes from other reader threads).
+        buf = ctypes.create_string_buffer(512)
+        self._lib.damc_lmdb_error(self._h, buf, len(buf))
+        return buf.value.decode(errors="replace")
+
     def _get(self, key: bytes) -> Optional[bytes]:
         val = ctypes.c_void_p()
         vlen = ctypes.c_uint64()
@@ -130,7 +139,7 @@ class NativeLMDBEnv:
         )
         if rc < 0:
             raise OSError(
-                f"LMDB read error: {self._lib.damc_lmdb_error(self._h).decode()}"
+                f"LMDB read error: {self._last_error()}"
             )
         if rc == 0:
             return None
@@ -141,7 +150,7 @@ class NativeLMDBEnv:
             total = self._lib.damc_lmdb_keys_size(self._h)
             if total < 0:
                 raise OSError(
-                    f"LMDB key scan error: {self._lib.damc_lmdb_error(self._h).decode()}"
+                    f"LMDB key scan error: {self._last_error()}"
                 )
             blob = np.empty(max(int(total), 1), np.uint8)
             lens = np.empty(max(self._entries, 1), np.uint32)
@@ -151,7 +160,7 @@ class NativeLMDBEnv:
             )
             if n < 0:
                 raise OSError(
-                    f"LMDB key scan error: {self._lib.damc_lmdb_error(self._h).decode()}"
+                    f"LMDB key scan error: {self._last_error()}"
                 )
             raw = blob.tobytes()
             out, off = [], 0

@@ -25,6 +25,7 @@ from .state import DAMCState, ModelBundle, create_state
 from ..utils.checkpoint import save_checkpoint
 from .driver_utils import (
     host_local_state,
+    host_shard,
     is_primary_host,
     local_batch_size,
     make_step_fn,
@@ -122,7 +123,7 @@ def train_anomaly(
     step, state = make_step_fn(models, opts, cfg, mesh, state)
 
     loader = make_loader(
-        train_images,
+        host_shard(train_images),
         batch_size=local_batch_size(tc.batch_size),
         shuffle=True,
         drop_last=True,

@@ -84,6 +84,18 @@ def put_batch(mesh, x_np):
     return jax.device_put(x_np, batch_sharding(mesh))
 
 
+def host_shard(images):
+    """This host's DISJOINT partition of the training set for multi-host
+    runs (strided so class/ordering structure spreads evenly). Each host
+    then epoch-shuffles its OWN partition — the union of the per-host
+    loader streams visits every image exactly once per epoch, like the
+    reference's single-process full shuffle. Single-process: identity."""
+    n = jax.process_count()
+    if n == 1:
+        return images
+    return images[jax.process_index()::n]
+
+
 def local_batch_size(global_batch: int) -> int:
     """Per-host share of the global training batch (multi-host runs feed
     per-host loader slices; single-process returns global_batch)."""

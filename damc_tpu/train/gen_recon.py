@@ -28,6 +28,7 @@ from .state import DAMCState, create_state
 from ..utils.checkpoint import save_checkpoint
 from .driver_utils import (
     host_local_state,
+    host_shard,
     is_primary_host,
     local_batch_size,
     make_step_fn,
@@ -186,11 +187,11 @@ def train_gen_recon(
         )
 
     # Native C++ batch engine for uint8 stores; NumPy fallback otherwise.
-    # Multi-host: each host loads its per-host share of the global batch
-    # (disjoint shuffles via a per-process seed offset); put_batch assembles
-    # the global array.
+    # Multi-host: each host epoch-shuffles its DISJOINT partition of the
+    # dataset and loads its per-host share of the global batch; put_batch
+    # assembles the global array.
     loader = make_loader(
-        train_images,
+        host_shard(train_images),
         batch_size=local_batch_size(tc.batch_size),
         shuffle=True,
         drop_last=True,

@@ -24,6 +24,28 @@ from __future__ import annotations
 from ..models.encoders import encoder_spec
 from ..models.generators import generator_spec
 
+# Dense bf16 peak FLOP/s per chip by device_kind substring (public specs).
+# Single source of truth for every MFU computation (bench.py,
+# tools/mfu_probe.py).
+PEAK_BF16_BY_DEVICE_KIND = {
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v5": 459e12,  # bare "TPU v5" = v5p (checked AFTER the lite/e variants)
+}
+
+
+def peak_bf16_flops(device_kind: str):
+    """Chip dense-bf16 peak for an MFU denominator; None if unknown."""
+    dk = device_kind.lower()
+    for key in ("v5 lite", "v5e", "v6 lite", "v6e", "v5p", "v4", "v5"):
+        if key in dk:
+            return PEAK_BF16_BY_DEVICE_KIND[key]
+    return None
+
 
 def _out_hw(size: int, kernel: int, stride: int, padding) -> int:
     """Output spatial size of a conv layer as encoder_spec encodes it."""

@@ -31,6 +31,7 @@
 //                          const uint8_t** val, uint64_t* vlen)
 //   int64_t  damc_lmdb_keys_size(void* env)   // total key bytes (caches scan)
 //   int64_t  damc_lmdb_keys_fill(void* env, uint8_t* blob, uint32_t* lens)
+//   void     damc_lmdb_error(void* env, char* buf, size_t buflen)
 //   void     damc_lmdb_close(void* env)
 
 #include <atomic>
@@ -385,7 +386,14 @@ int64_t damc_lmdb_keys_fill(void* h, uint8_t* blob, uint32_t* lens) {
   return (int64_t)env->key_lens.size();
 }
 
-const char* damc_lmdb_error(void* h) { return ((Env*)h)->err.c_str(); }
+void damc_lmdb_error(void* h, char* buf, size_t buflen) {
+  // Snapshot under the same lock fail() writes under: returning c_str()
+  // raced concurrent error writes from other reader threads (the string's
+  // buffer can be reallocated mid-copy on the Python side).
+  Env* env = (Env*)h;
+  std::lock_guard<std::mutex> lk(env->mu);
+  if (buf && buflen) std::snprintf(buf, buflen, "%s", env->err.c_str());
+}
 
 void damc_lmdb_close(void* h) { delete (Env*)h; }
 

@@ -231,7 +231,7 @@ def test_two_process_train_step_matches_single_process():
     try:
         outs = []
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     finally:
         for p in procs:
@@ -246,7 +246,7 @@ def test_two_process_train_step_matches_single_process():
     env_oracle["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     oracle = subprocess.run(
         [sys.executable, "-c", ORACLE_WORKER.format(repo=REPO)],
-        env=env_oracle, capture_output=True, text=True, timeout=600, cwd=REPO,
+        env=env_oracle, capture_output=True, text=True, timeout=1500, cwd=REPO,
     )
     assert oracle.returncode == 0, oracle.stdout + oracle.stderr
 
@@ -278,6 +278,15 @@ from damc_tpu.train.driver_utils import metric_float
 from damc_tpu.utils.config import preset
 
 cfg = preset("svhn")
+# make_log_dir must produce the SAME path on every host (process 0's
+# timestamp is broadcast) — the orbax save is a coordinated all-host write.
+from damc_tpu.cli.common import make_log_dir
+
+cfg = dataclasses.replace(
+    cfg, train=dataclasses.replace(cfg.train, log_path=log_dir)
+)
+log_dir = make_log_dir(cfg)
+print("LOG_DIR", log_dir, flush=True)
 cfg = dataclasses.replace(
     cfg,
     model=dataclasses.replace(cfg.model, ngf=8, nif=8, nxemb=16, ntemb=16, nz=8),
@@ -323,7 +332,7 @@ def test_two_process_full_driver(tmp_path):
     try:
         outs = []
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     finally:
         for p in procs:
@@ -333,6 +342,17 @@ def test_two_process_full_driver(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"DRIVER_OK {i} 3" in out, out
+
+    # Both hosts must have resolved the SAME broadcast run dir.
+    def _logdir_from(out):
+        for line in out.splitlines():
+            if line.startswith("LOG_DIR "):
+                return line[len("LOG_DIR "):].strip()
+        raise AssertionError(f"no LOG_DIR line in:\n{out}")
+
+    dirs = [_logdir_from(o) for o in outs]
+    assert dirs[0] == dirs[1], dirs
+    log_dir = dirs[0]
 
     import json
 

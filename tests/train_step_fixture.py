@@ -13,7 +13,6 @@ import dataclasses
 from typing import Callable, Dict
 
 import jax
-import numpy as np
 
 
 def tiny_cfg(batch_size: int = 8):
@@ -41,7 +40,7 @@ def run_steps(cfg, mesh, make_batch: Callable, n_steps: int = 3) -> Dict[str, fl
     works for replicated outputs on multi-host meshes where plain float()
     would raise on non-fully-addressable arrays).
     """
-    from damc_tpu.train.driver_utils import make_step_fn
+    from damc_tpu.train.driver_utils import make_step_fn, metric_float
     from damc_tpu.train.state import create_state
 
     state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
@@ -50,6 +49,4 @@ def run_steps(cfg, mesh, make_batch: Callable, n_steps: int = 3) -> Dict[str, fl
     metrics = {}
     for _ in range(n_steps):
         state, metrics = step(state, x)
-    return {
-        k: float(np.asarray(v.addressable_data(0))) for k, v in metrics.items()
-    }
+    return {k: metric_float(v) for k, v in metrics.items()}

@@ -33,7 +33,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5000)
     ap.add_argument("--digits", type=int, nargs="+", default=[1, 9])
-    ap.add_argument("--n_train", type=int, default=60000)
+    # TOTAL images across the three npz splits; 70000 = the real MNIST
+    # 50k train / 10k test / 10k valid (the anomaly split concatenates all
+    # three before its own 80/20 re-split, `data/datasets.py:59-76`).
+    ap.add_argument("--n_train", type=int, default=70000)
     ap.add_argument("--out", default="artifacts/anomaly_protocol.json")
     args = ap.parse_args()
 
@@ -47,7 +50,6 @@ def main():
     enable_compile_cache()
 
     root = tempfile.mkdtemp(prefix="mnist_anom_")
-    # Real MNIST split sizes: 50k train / 10k test / 10k valid.
     synthetic_mnist_npz(
         os.path.join(root, "mnist.npz"),
         n_per_split=(args.n_train - 20000, 10000, 10000),
@@ -82,7 +84,7 @@ def main():
 
     summary = {
         "protocol": f"eval_every=500, iters={args.iters}, reference mnist_anomaly preset",
-        "n_train_total": args.n_train,
+        "n_images_total_npz": args.n_train,
         "digits": results,
         "note": "synthetic MNIST (no real data in env); validates protocol "
                 "convergence + best-ckpt gating, not the paper AUPRC value",

@@ -24,24 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Dense bf16 peak FLOP/s per chip, by device_kind substring (public specs).
-PEAK_BF16 = {
-    "v4": 275e12,
-    "v5 lite": 197e12,
-    "v5e": 197e12,
-    "v5p": 459e12,
-    "v5": 459e12,  # bare "TPU v5" = v5p
-    "v6 lite": 918e12,
-    "v6e": 918e12,
-}
+import sys as _sys
 
-
-def peak_bf16_flops(device_kind: str):
-    dk = device_kind.lower()
-    for key in ("v5 lite", "v5e", "v6 lite", "v6e", "v5p", "v4", "v5"):
-        if key in dk:
-            return PEAK_BF16[key]
-    return None
+_sys.path.insert(0, ".")
+from damc_tpu.utils.flops import peak_bf16_flops  # single source of truth
 
 
 def force_sync(x):
@@ -185,6 +171,9 @@ def sampling_phase_mfu(iters=10, batches=(128, 512)):
 
         return phase, args_for
 
+    from damc_tpu.utils.flops import sampling_phase_flops
+    from damc_tpu.utils import preset as _preset
+
     phase32, args32_for = build("float32")
     phase16, args16_for = build("bfloat16")
     kind = jax.devices()[0].device_kind
@@ -192,28 +181,29 @@ def sampling_phase_mfu(iters=10, batches=(128, 512)):
     out = {"device_kind": kind, "peak_bf16_flops": peak, "by_batch": {}}
     for b in batches:
         a32, a16 = args32_for(b), args16_for(b)
-        flops32 = cost_flops(phase32, *a32)
-        flops16 = cost_flops(phase16, *a16)
+        # TRUE phase FLOPs from the analytic exact-MAC model — XLA
+        # cost_analysis counts the scan bodies once (~30x under on this
+        # phase) and is recorded only as the cautionary cross-check.
+        flops = sampling_phase_flops(_preset("cifar10"), b)["total"]
+        xla32 = cost_flops(phase32, *a32)
         # Fewer sync-blocks at the big batch: each call is ~4x the work.
         t32, t16 = timed_ab(
             [lambda: phase32(*a32), lambda: phase16(*a16)],
             iters=max(iters // 2, 3), block=5,
         )
+        def path(t):
+            return {
+                "analytic_flops": flops,
+                "wall_s": t,
+                "achieved_tflops": flops / t / 1e12,
+                "mfu_vs_bf16_peak": (flops / t / peak) if peak else None,
+                "chain_steps_per_sec": b * (100 + 30 + 2 * 60) / t,
+            }
+
         out["by_batch"][str(b)] = {
-            "fp32_path": {
-                "xla_cost_flops": flops32,
-                "wall_s": t32,
-                "achieved_tflops": flops32 / t32 / 1e12,
-                "mfu_vs_bf16_peak": (flops32 / t32 / peak) if peak else None,
-                "chain_steps_per_sec": b * (100 + 30 + 2 * 60) / t32,
-            },
-            "bf16_path": {
-                "xla_cost_flops": flops16,
-                "wall_s": t16,
-                "achieved_tflops": flops16 / t16 / 1e12,
-                "mfu_vs_bf16_peak": (flops16 / t16 / peak) if peak else None,
-                "chain_steps_per_sec": b * (100 + 30 + 2 * 60) / t16,
-            },
+            "fp32_path": path(t32),
+            "bf16_path": path(t16),
+            "xla_cost_flops_scan_body_once": xla32,
             "bf16_speedup": t32 / t16,
         }
     return out
