@@ -136,6 +136,9 @@ def train_anomaly(
     eval_score_fn = make_score_fn(models, cfg)
     import time as _time
 
+    from .driver_utils import CDGapMonitor
+
+    cd_monitor = CDGapMonitor()
     last_print = None
     # Preemption-safe loop (see train/gen_recon.py / utils/preemption.py).
     with graceful_shutdown() as shutdown:
@@ -148,12 +151,13 @@ def train_anomaly(
             state, metrics = step(state, x)
 
             if tc.print_every > 0 and it % tc.print_every == 0:
-                extra = {}
+                host_metrics = {k: metric_float(v) for k, v in metrics.items()}
+                extra = cd_monitor.update(it, host_metrics)
                 now = _time.perf_counter()
                 if last_print is not None and it > last_print[0]:
                     extra["iters_per_s_wall"] = (it - last_print[0]) / (now - last_print[1])
                 last_print = (it, now)
-                logger.log(it, {**{k: metric_float(v) for k, v in metrics.items()}, **extra})
+                logger.log(it, {**host_metrics, **extra})
             if tc.eval_every > 0 and it % tc.eval_every == 0 and test_images is not None:
                 # Multi-host: per-sample scores run redundantly per host on
                 # a host-local state copy (identical replicated values).

@@ -137,6 +137,56 @@ def make_stream(loader):
     return stream
 
 
+class CDGapMonitor:
+    """Early warning for EBM contrastive-divergence runaway (failure
+    detection, SURVEY.md §5).
+
+    Characterized in artifacts/CD_DIVERGENCE.md: once the prior Langevin
+    chains stop mixing, |e_pos - e_neg| grows without bound for THOUSANDS
+    of iterations before anything goes non-finite, while g_loss still
+    looks healthy — the NaN fail-fast never fires and a run can burn hours
+    in a regime whose checkpoints are useless. The reference's own torch
+    loop exhibits the same runaway (66x gap growth on the control run), so
+    this is detection ONLY: training dynamics are untouched; the alarm is
+    a metric (`cd_gap_alarm`) plus a one-time log line, for operators and
+    sweeps to gate on.
+
+    Alarm rule: |gap| > factor x median(|gap| over the first `warmup`
+    observations). With the default print cadence this fires ~500 iters
+    after onset and ~20k before the g_loss side degrades (both 25k-iter
+    endurance runs)."""
+
+    def __init__(self, warmup: int = 20, factor: float = 50.0):
+        self._warm = []
+        self.warmup = warmup
+        self.factor = factor
+        self.fired_at = None
+
+    def update(self, it: int, host_metrics) -> dict:
+        import numpy as np
+
+        if "e_pos" not in host_metrics or "e_neg" not in host_metrics:
+            return {}
+        gap = abs(host_metrics["e_pos"] - host_metrics["e_neg"])
+        if len(self._warm) < self.warmup:
+            self._warm.append(gap)
+            return {"cd_gap_alarm": 0.0}
+        base = max(float(np.median(self._warm)), 1e-3)
+        alarmed = gap > self.factor * base
+        if alarmed and self.fired_at is None:
+            self.fired_at = it
+            print(
+                f"[damc] WARNING: contrastive-divergence gap runaway at "
+                f"iteration {it}: |e_pos - e_neg| = {gap:.3e} > "
+                f"{self.factor:.0f}x warmup median {base:.3e}. The EBM prior "
+                "chains have likely stopped mixing; later checkpoints will "
+                "not improve (best-ckpt gating preserves the optimum). See "
+                "artifacts/CD_DIVERGENCE.md.",
+                flush=True,
+            )
+        return {"cd_gap_alarm": 1.0 if alarmed else 0.0}
+
+
 def metric_float(v) -> float:
     """Host float from a metric that may live replicated on a multi-host
     mesh (plain float() raises on non-fully-addressable arrays)."""

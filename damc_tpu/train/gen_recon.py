@@ -208,6 +208,9 @@ def train_gen_recon(
     import time as _time
 
     last_print = None
+    from .driver_utils import CDGapMonitor
+
+    cd_monitor = CDGapMonitor()
     # Eval programs compiled ONCE (state passed as an argument). FID batches
     # use the reference's bs=500 protocol (`MCMC.py:130,152`), capped by the
     # sample budget for tiny smoke configs.
@@ -260,7 +263,7 @@ def train_gen_recon(
                         f"non-finite training metrics {bad} at iteration {it}; "
                         f"last metrics: {host_metrics}"
                     )
-                extra = {}
+                extra = cd_monitor.update(it, host_metrics)
                 now = _time.perf_counter()
                 if last_print is not None and it > last_print[0]:
                     extra["iters_per_s_wall"] = (it - last_print[0]) / (

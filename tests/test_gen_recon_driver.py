@@ -142,3 +142,31 @@ def test_evaluate_mse_protocol_non_divisible():
 
     evaluate_mse(key, state, models, cfg, x[:3], batch, recon_fn=counting_rf)
     assert probe["called"] == 1
+
+
+def test_cd_gap_monitor_fires_on_runaway(capsys):
+    """Failure detection for the CD runaway characterized in
+    artifacts/CD_DIVERGENCE.md: healthy gaps -> no alarm; a gap 50x the
+    warmup median -> alarm metric + one-time warning."""
+    from damc_tpu.train.driver_utils import CDGapMonitor
+
+    mon = CDGapMonitor(warmup=5, factor=50.0)
+    # Warmup: |gap| ~ 15 (typical healthy value from the endurance runs).
+    for it in range(5):
+        out = mon.update(it * 10, {"e_pos": -113.0, "e_neg": -98.0 + it})
+        assert out == {"cd_gap_alarm": 0.0}
+    # Healthy post-warmup observation: no alarm.
+    assert mon.update(60, {"e_pos": -150.0, "e_neg": -120.0}) == {"cd_gap_alarm": 0.0}
+    assert mon.fired_at is None
+    # Runaway (iter-4500 anatomy: gap ~ 2.2e4): alarm fires once.
+    out = mon.update(4500, {"e_pos": -6.4e3, "e_neg": 1.6e4})
+    assert out == {"cd_gap_alarm": 1.0}
+    assert mon.fired_at == 4500
+    assert "runaway at iteration 4500" in capsys.readouterr().out
+    # Second alarmed update keeps the metric high but does NOT re-print.
+    out = mon.update(4600, {"e_pos": -1.1e5, "e_neg": 6.6e5})
+    assert out == {"cd_gap_alarm": 1.0}
+    assert mon.fired_at == 4500
+    assert capsys.readouterr().out == ""
+    # Metrics without energies (e.g. anomaly eval rows) are a no-op.
+    assert mon.update(4700, {"g_loss": 1.0}) == {}
