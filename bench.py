@@ -140,23 +140,6 @@ def bench_reverse_sweep(models, state, cfg, B=128) -> float:
     return B * cfg.diffusion.n_interval / dt
 
 
-def peak_bf16_flops():
-    from damc_tpu.utils.flops import peak_bf16_flops as peak
-
-    return peak(jax.devices()[0].device_kind)
-
-
-def xla_cost_flops(jitted, args):
-    """Analytic FLOPs of the compiled program per XLA's own cost model."""
-    try:
-        ca = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        return float(ca["flops"])
-    except Exception:
-        return None
-
-
 def bench_sampling_phase(models, state, cfg, B=128):
     """Full gen_recon sampling phase (Q sweep + posterior + prior) in one
     jit. Returns (chain_steps_per_sec, mfu_fields_dict)."""
@@ -203,12 +186,14 @@ def bench_sampling_phase(models, state, cfg, B=128):
     # f32 matmuls at the one-pass-bf16 MXU rate by default (measured
     # 148 vs 178 TFLOP/s, artifacts/mfu_probe.json), so an fp32-path
     # program near the roofline gains little from bf16 operands.
-    from damc_tpu.utils.flops import sampling_phase_flops
+    from damc_tpu.utils.flops import (
+        peak_bf16_flops, sampling_phase_flops, xla_cost_flops,
+    )
 
     model = sampling_phase_flops(cfg, B)
     flops = model["total"]
     xla_flops = xla_cost_flops(sampling_phase, args)
-    peak = peak_bf16_flops()
+    peak = peak_bf16_flops(jax.devices()[0].device_kind)
     mfu = {
         "sampling_phase_analytic_flops": flops,
         "sampling_phase_flops_breakdown": {

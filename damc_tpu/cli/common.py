@@ -121,6 +121,12 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--e_max_norm", type=float, default=None)
     p.add_argument("--g_max_norm", type=float, default=None)
     p.add_argument(
+        "--e_energy_reg", type=float, default=None,
+        help="EBM energy-magnitude regularizer alpha (default 0 = exact "
+             "reference CD, which runs away after ~5k iters — see "
+             "artifacts/CD_DIVERGENCE.md; 2e-4 stabilizes long horizons)",
+    )
+    p.add_argument(
         "--fid_batch_size", type=int, default=None,
         help="FID sample-generation batch (reference MCMC.py:130: 500)",
     )
@@ -225,6 +231,7 @@ def config_from_args(args, preset_name: Optional[str] = None) -> Config:
         plot_every=args.plot_every,
         ckpt_every=args.ckpt_every,
         eval_every=args.eval_every,
+        e_energy_reg=args.e_energy_reg,
     )
     return cfg
 

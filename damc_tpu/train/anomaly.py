@@ -110,10 +110,17 @@ def train_anomaly(
     # Multi-host: checkpoints are all-host orbax saves; jsonl is
     # primary-only (see train/gen_recon.py).
     multihost = jax.process_count() > 1
+    if multihost and not use_mesh:
+        raise ValueError(
+            "multi-host training requires use_mesh=True: without a global "
+            "mesh each process would silently train an independent model on "
+            "its own data shard while writing to a shared checkpoint path "
+            "(the CLI's --multihost sets this automatically)"
+        )
     ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
     if multihost and not is_primary_host():
         log_dir = None
-    logger = MetricsLogger(log_dir)
+    logger = MetricsLogger(log_dir, echo=is_primary_host())
 
     key = jax.random.PRNGKey(seed)
     k_init, k_eval = jax.random.split(key)
@@ -167,6 +174,16 @@ def train_anomaly(
                     models, cfg, test_images, test_labels,
                     score_fn=eval_score_fn,
                 )
+                if multihost:
+                    # The best-ckpt branch below must be taken by EVERY
+                    # host or none (orbax multi-process save barriers):
+                    # per-host redundant evals could differ in the last
+                    # ulp, so gate on host 0's score everywhere.
+                    from jax.experimental import multihost_utils
+
+                    score = float(multihost_utils.broadcast_one_to_all(
+                        np.float64(score)
+                    ))
                 if score > auc_best:
                     auc_best = score
                     if ckpt_dir:

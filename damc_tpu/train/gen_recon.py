@@ -160,10 +160,17 @@ def train_gen_recon(
     # hosts call save; log_dir must be a shared path). jsonl metrics and
     # image grids are primary-host-only.
     multihost = jax.process_count() > 1
+    if multihost and not use_mesh:
+        raise ValueError(
+            "multi-host training requires use_mesh=True: without a global "
+            "mesh each process would silently train an independent model on "
+            "its own data shard while writing to a shared checkpoint path "
+            "(the CLI's --multihost sets this automatically)"
+        )
     ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
     if multihost and not is_primary_host():
         log_dir = None
-    logger = MetricsLogger(log_dir)
+    logger = MetricsLogger(log_dir, echo=is_primary_host())
     img_dir = os.path.join(log_dir, "imgs") if log_dir else None
 
     key = jax.random.PRNGKey(seed)

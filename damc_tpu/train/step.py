@@ -153,9 +153,15 @@ def make_train_step(
         if tc.update_e and models.ebm is not None and zk_neg is not None:
 
             def e_loss_fn(pe):
-                pos = models.ebm.apply(pe, zk_pos).mean()
-                neg = models.ebm.apply(pe, zk_neg).mean()
-                return pos - neg, (pos, neg)
+                e_p = models.ebm.apply(pe, zk_pos)
+                e_n = models.ebm.apply(pe, zk_neg)
+                pos, neg = e_p.mean(), e_n.mean()
+                loss = pos - neg
+                if tc.e_energy_reg > 0.0:  # static: off = exact reference CD
+                    loss = loss + tc.e_energy_reg * (
+                        jnp.mean(e_p**2) + jnp.mean(e_n**2)
+                    )
+                return loss, (pos, neg)
 
             (_, (e_pos, e_neg)), e_grads = jax.value_and_grad(
                 e_loss_fn, has_aux=True

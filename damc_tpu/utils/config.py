@@ -114,6 +114,14 @@ class TrainConfig:
     remat_generator: bool = False
     update_g: bool = True
     update_e: bool = True
+    # Optional EBM energy-magnitude regularizer: adds
+    # alpha * (mean E(z+)^2 + mean E(z-)^2) to the CD loss (the standard
+    # EBM stabilizer, Du & Mordatch 2019). DEFAULT 0.0 = exact reference
+    # parity — the reference has NO stabilizer and its own torch loop
+    # exhibits iteration-driven CD runaway after ~5k iterations
+    # (artifacts/CD_DIVERGENCE.md). A small alpha bounds the energy scale
+    # so e_pos/e_neg cannot grow without bound on long horizons.
+    e_energy_reg: float = 0.0
     print_every: int = 100
     plot_every: int = 1000
     ckpt_every: int = 50_000

@@ -47,6 +47,21 @@ def peak_bf16_flops(device_kind: str):
     return None
 
 
+def xla_cost_flops(jitted, args):
+    """FLOPs of a compiled program per XLA's own cost model, or None.
+
+    Counts a lax.scan body ONCE (see module docstring) — only valid as a
+    cross-check on un-scanned programs. Shared by bench.py and
+    tools/mfu_probe.py."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
 def _out_hw(size: int, kernel: int, stride: int, padding) -> int:
     """Output spatial size of a conv layer as encoder_spec encodes it."""
     if padding == "SAME":
@@ -115,20 +130,43 @@ def encoder_fwd_flops(dataset: str, nemb: int, nif: int, image_size: int) -> flo
     return total
 
 
-def denoiser_fwd_flops(nz: int, nxemb: int, ntemb: int, nf: int,
-                       widths=None) -> float:
-    """One eps-prediction eval, per sample, with the hoisted-context sweep
-    (FiLM tables precomputed once for all steps — models/amortizer.py:201)
-    so the per-eval cost is the x-path matmuls + fourier projection only."""
+def _csl_dims(nz: int, nf: int, widths=None):
+    """(dim_in, dim_out) of every ConcatSquashLinear in the denoiser U-Net
+    (models/denoiser.py::LatentDenoiser.setup)."""
     narrow, wide = widths or (32 * nf, 64 * nf)
-    dims = [
+    return [
         (2 * nz, narrow), (narrow, wide), (wide, wide),   # in
         (wide, wide),                                      # mid
         (2 * wide, wide), (2 * wide, narrow), (2 * narrow, nz),  # out
     ]
-    mat = sum(di * do for di, do in dims)
+
+
+def denoiser_fwd_flops(nz: int, nxemb: int, ntemb: int, nf: int,
+                       widths=None) -> float:
+    """One eps-prediction eval, per sample, on the hoisted sampling path
+    (ctx 'pre' tables precomputed per sweep — see denoiser_sweep_setup_flops
+    for that cost). Per eval each ConcatSquashLinear still runs FOUR
+    matmuls (models/denoiser.py::film_from_pre + apply_x): the FiLM _gate
+    and _hyper_bias (dim_out x dim_out each, NOT hoistable — they act on
+    the combined per-step pre), and the x-path _lin and _skip (dim_in x
+    dim_out each); plus the fourier input projection."""
+    mac = sum(2 * di * do + 2 * do * do for di, do in _csl_dims(nz, nf, widths))
     fourier = nz * (nz // 2)
-    return 2.0 * (mat + fourier)
+    return 2.0 * (mac + fourier)
+
+
+def denoiser_sweep_setup_flops(nz: int, nxemb: int, ntemb: int, nf: int,
+                               n_steps: int, widths=None) -> tuple[float, float]:
+    """Per-sweep cost of sample_tables (models/denoiser.py): returns
+    (per_sample, whole_sweep_batch_independent).
+
+    per_sample: SiLU(xemb) @ Kx per layer, once per sweep per sample.
+    batch-independent: the (n_steps, ntemb) temb MLP + SiLU(temb) @ Kt per
+    layer for the whole step grid, amortized over the batch."""
+    outs = [do for _, do in _csl_dims(nz, nf, widths)]
+    per_sample = 2.0 * nxemb * sum(outs)
+    per_grid = 2.0 * n_steps * (ntemb * sum(outs) + 2 * ntemb * ntemb)
+    return per_sample, per_grid
 
 
 def ebm_fwd_flops(nz: int, ndf: int, n_hidden: int = 2) -> float:
@@ -154,9 +192,12 @@ def sampling_phase_flops(cfg, batch: int) -> dict:
     g_fwd = generator_fwd_flops(m.dataset, m.ngf, m.nc, m.nz)
     enc_fwd = encoder_fwd_flops(m.dataset, m.nxemb, m.nif, m.image_size)
     den_fwd = denoiser_fwd_flops(m.nz, m.nxemb, m.ntemb, m.nf)
+    setup_per_sample, setup_grid = denoiser_sweep_setup_flops(
+        m.nz, m.nxemb, m.ntemb, m.nf, d.n_interval
+    )
     e_fwd = ebm_fwd_flops(m.nz, m.ndf)
 
-    sweep = batch * (enc_fwd + d.n_interval * den_fwd)
+    sweep = batch * (enc_fwd + d.n_interval * den_fwd + setup_per_sample) + setup_grid
     posterior = batch * mc.g_l_steps * (2.0 * g_fwd + 2.0 * e_fwd)
     prior = 2 * batch * mc.e_l_steps * (2.0 * e_fwd)
     return {

@@ -64,6 +64,35 @@ def test_ebm_fwd_matches_xla():
     assert rel_err(got, want) < 0.10, (got, want)
 
 
+def test_denoiser_eval_matches_xla():
+    """The per-eval count on the hoisted sampling path (denoise_from_tables)
+    must cover ALL FOUR matmuls per ConcatSquashLinear (_lin, _skip, FiLM
+    _gate, _hyper_bias) plus the fourier projection — the round-3 review
+    found the original model omitted 3 of the 4 (a ~3.5x undercount)."""
+    from damc_tpu.models.denoiser import LatentDenoiser
+    from damc_tpu.utils.flops import denoiser_fwd_flops
+
+    nz, nxemb, ntemb, nf = 128, 1024, 128, 4
+    den = LatentDenoiser(nz=nz, nxemb=nxemb, ntemb=ntemb, nf=nf)
+    z = jnp.zeros((B, nz))
+    grid = jnp.linspace(-5.0, 5.0, 4)
+    xemb = jnp.zeros((B, nxemb))
+    params = den.init(jax.random.PRNGKey(0), z, jnp.zeros((B,)), xemb)
+    tables = den.apply(
+        params, grid, xemb, method=lambda m, g, e: m.sample_tables(g, e)
+    )
+    pre_t_step = [t[0] for t in tables["pre_t"]]
+
+    def one_eval(p, zz, ts, xs):
+        return den.apply(
+            p, zz, ts, xs, method=lambda m, a, b, c: m.denoise_from_tables(a, b, c)
+        )
+
+    got = xla_flops(one_eval, params, z, pre_t_step, tables["pre_x"])
+    want = B * denoiser_fwd_flops(nz, nxemb, ntemb, nf)
+    assert rel_err(got, want) < 0.15, (got, want)
+
+
 def test_grad_costs_twice_forward():
     """The model charges fwd + input-bwd = 2x fwd for grad-z of G; XLA's
     count of the same grad program agrees (weight grads are sliced away by

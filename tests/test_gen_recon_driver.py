@@ -144,6 +144,30 @@ def test_evaluate_mse_protocol_non_divisible():
     assert probe["called"] == 1
 
 
+def test_multihost_without_mesh_is_rejected(monkeypatch):
+    """A multi-process run with use_mesh=False would silently train N
+    independent models on disjoint shards while sharing a checkpoint path
+    (host_shard/local_batch_size split the data but put_batch does a plain
+    local device_put) — both drivers must refuse up front."""
+    import numpy as np
+    import pytest
+
+    import damc_tpu.train.anomaly as anomaly_mod
+    import damc_tpu.train.gen_recon as gen_recon_mod
+    from damc_tpu.train.anomaly import train_anomaly
+    from damc_tpu.train.gen_recon import train_gen_recon
+    from damc_tpu.utils.config import preset
+
+    monkeypatch.setattr(gen_recon_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(anomaly_mod.jax, "process_count", lambda: 2)
+    imgs = np.zeros((16, 32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="use_mesh"):
+        train_gen_recon(preset("cifar10"), imgs, use_mesh=False)
+    m_imgs = np.zeros((16, 28, 28, 1), dtype=np.uint8)
+    with pytest.raises(ValueError, match="use_mesh"):
+        train_anomaly(preset("mnist_anomaly"), m_imgs, use_mesh=False)
+
+
 def test_cd_gap_monitor_fires_on_runaway(capsys):
     """Failure detection for the CD runaway characterized in
     artifacts/CD_DIVERGENCE.md: healthy gaps -> no alarm; a gap 50x the

@@ -57,6 +57,30 @@ def test_gen_recon_step_updates_all_nets():
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_e_energy_reg_default_off_is_exact_reference_cd():
+    """e_energy_reg=0 (the default) must be bit-identical to the plain CD
+    step, and a positive alpha must change ONLY the E update (G/Q see the
+    same samples and losses). The regularizer is the opt-in long-horizon
+    stabilizer for the CD runaway in artifacts/CD_DIVERGENCE.md."""
+    cfg0 = tiny(preset("svhn"))
+    cfg_reg = tiny(preset("svhn"), e_energy_reg=1e-3)
+    assert cfg0.train.e_energy_reg == 0.0
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3), minval=-1, maxval=1)
+    state, models, opts = create_state(jax.random.PRNGKey(0), cfg0)
+    s0, m0 = jax.jit(make_train_step(models, opts, cfg0))(state, x)
+    state2, models2, opts2 = create_state(jax.random.PRNGKey(0), cfg_reg)
+    s1, m1 = jax.jit(make_train_step(models2, opts2, cfg_reg))(state2, x)
+
+    # Same PRNG + data: sampling and the G/Q sides are unaffected...
+    for k in ("g_loss", "q_loss", "e_pos", "e_neg"):
+        assert np.isclose(float(m0[k]), float(m1[k]), rtol=1e-6), k
+    for a, b in zip(jax.tree.leaves(s0.params_g), jax.tree.leaves(s1.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # ...but the E gradient differs (the reg term's 2*alpha*E grad).
+    assert params_changed(s0.params_e, s1.params_e)
+
+
 def test_anomaly_step_dual_branch():
     cfg = tiny(preset("mnist_anomaly"))
     assert cfg.train.q_loss_both_branches and cfg.train.prior_chains == "single"

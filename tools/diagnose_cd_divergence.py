@@ -69,6 +69,7 @@ def cmd_run(args):
         cfg,
         train=dataclasses.replace(
             cfg.train,
+            e_energy_reg=args.e_energy_reg,
             print_every=args.print_every,
             # dynamics run: no FID/plots — maximize iters/hour; periodic
             # ckpt retained so the run is resumable after preemption.
@@ -116,7 +117,7 @@ def detect_onset(recs, batch, n_images, warmup_frac=0.2, k=5.0):
         "warmup_gap_q90": base,
         "threshold": thresh,
         "onset_iter": onset,
-        "onset_epochs_recycled": (onset * batch / n_images) if onset else None,
+        "onset_epochs_recycled": (onset * batch / n_images) if onset is not None else None,
         "final_gap": float(gap[-1]),
         "final_abs_prior_energy": float(prior_e[-1]),
         "max_zk_pos_abs": float(zmax.max()),
@@ -137,7 +138,7 @@ def cmd_analyze(args):
     verdict = None
     if {"small", "large"} <= set(results):
         s, l = results["small"], results["large"]
-        if s["onset_iter"] and not l["onset_iter"]:
+        if s["onset_iter"] is not None and l["onset_iter"] is None:
             verdict = (
                 f"small-data CD artifact confirmed: N={s['n_images']} diverges at "
                 f"iter {s['onset_iter']} ({s['onset_epochs_recycled']:.0f} epochs of "
@@ -145,7 +146,7 @@ def cmd_analyze(args):
                 f"{l['last_iter']} of the SAME config — the EBM overfits recycled "
                 "posterior samples; not a porting bug."
             )
-        elif s["onset_iter"] and l["onset_iter"]:
+        elif s["onset_iter"] is not None and l["onset_iter"] is not None:
             verdict = (
                 f"both regimes diverge (small at {s['onset_iter']}, large at "
                 f"{l['onset_iter']}) — divergence is NOT explained by data "
@@ -170,6 +171,8 @@ def main():
     r.add_argument("--iters", type=int, default=25000)
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--print_every", type=int, default=50)
+    r.add_argument("--e_energy_reg", type=float, default=0.0,
+                   help="EBM energy regularizer alpha (0 = reference CD)")
     r.add_argument("--log_dir", required=True)
     r.set_defaults(fn=cmd_run)
     a = sub.add_parser("analyze")

@@ -27,7 +27,7 @@ import numpy as np
 import sys as _sys
 
 _sys.path.insert(0, ".")
-from damc_tpu.utils.flops import peak_bf16_flops  # single source of truth
+from damc_tpu.utils.flops import peak_bf16_flops, xla_cost_flops  # single source of truth
 
 
 def force_sync(x):
@@ -57,13 +57,6 @@ def timed_ab(fns, iters=10, block=10):
             force_sync(out)
             totals[i] += time.perf_counter() - t0
     return [t / (iters * block) for t in totals]
-
-
-def cost_flops(jitted, *args):
-    ca = jitted.lower(*args).compile().cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
-    return float(ca["flops"])
 
 
 def matmul_precision_probe(n=4096, iters=3, K=500):
@@ -185,7 +178,7 @@ def sampling_phase_mfu(iters=10, batches=(128, 512)):
         # cost_analysis counts the scan bodies once (~30x under on this
         # phase) and is recorded only as the cautionary cross-check.
         flops = sampling_phase_flops(_preset("cifar10"), b)["total"]
-        xla32 = cost_flops(phase32, *a32)
+        xla32 = xla_cost_flops(phase32, a32)
         # Fewer sync-blocks at the big batch: each call is ~4x the work.
         t32, t16 = timed_ab(
             [lambda: phase32(*a32), lambda: phase16(*a16)],

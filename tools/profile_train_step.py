@@ -195,7 +195,12 @@ def main():
         "fused_train_step_wall_s": t_fused,
         "train_steps_per_sec": 1.0 / t_fused,
         "phase_wall_s": t_phase_info,
-        "decomposed_sum_s": sum(t_phase_info.values()),
+        # The "sampling/..." entries are an internal re-measurement of the
+        # work already timed by "sampling_phase" — summing both would count
+        # the sampling work twice.
+        "decomposed_sum_s": sum(
+            v for k, v in t_phase_info.items() if not k.startswith("sampling/")
+        ),
         "sampling_phase_mfu": mfu,
         "sampling_phase_fraction_of_step": (
             t_phase_info["sampling_phase"] / t_fused
