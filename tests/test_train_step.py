@@ -81,6 +81,53 @@ def test_e_energy_reg_default_off_is_exact_reference_cd():
     assert params_changed(s0.params_e, s1.params_e)
 
 
+def test_e_energy_reg_bounds_energies_at_fixed_point():
+    """The regularized CD loss E+ - E- + alpha*(E+^2 + E-^2) has gradient
+    1 + 2*alpha*E+ (resp. -1 + 2*alpha*E-) in energy space, so repeated
+    updates on FIXED pos/neg samples drive the mean energies to the
+    analytic fixed points -/+ 1/(2*alpha) instead of running away — the
+    bounded-saturation mechanism observed on the 25k-iter TPU run
+    (artifacts/CD_DIVERGENCE.md experiment 3). Plain CD (alpha=0) on the
+    same samples grows the gap without bound."""
+    import optax
+
+    from damc_tpu.models.ebm import LatentEBM
+
+    alpha = 0.01  # fixed points at -/+ 50
+    nz, b = 8, 32
+    ebm = LatentEBM(ndf=64)
+    k = jax.random.PRNGKey(0)
+    z_pos = jax.random.normal(jax.random.fold_in(k, 1), (b, nz))
+    z_neg = jax.random.normal(jax.random.fold_in(k, 2), (b, nz)) + 4.0
+    params = ebm.init(jax.random.fold_in(k, 3), z_pos)
+    opt = optax.adam(1e-2)
+
+    def run(alpha_val, n_steps=3000):
+        def loss_fn(p):
+            e_p, e_n = ebm.apply(p, z_pos), ebm.apply(p, z_neg)
+            loss = e_p.mean() - e_n.mean()
+            loss = loss + alpha_val * (jnp.mean(e_p**2) + jnp.mean(e_n**2))
+            return loss, (e_p.mean(), e_n.mean())
+
+        def body(carry, _):
+            p, o = carry
+            (_, (ep, en)), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            upd, o = opt.update(g, o, p)
+            return (optax.apply_updates(p, upd), o), (ep, en)
+
+        (_, _), (eps, ens) = jax.lax.scan(
+            body, (params, opt.init(params)), None, length=n_steps
+        )
+        return float(eps[-1]), float(ens[-1])
+
+    ep_reg, en_reg = run(alpha)
+    assert abs(ep_reg - (-1.0 / (2 * alpha))) < 5.0, ep_reg  # -> -50
+    assert abs(en_reg - (+1.0 / (2 * alpha))) < 5.0, en_reg  # -> +50
+
+    ep_cd, en_cd = run(0.0)
+    assert (en_cd - ep_cd) > 10.0 * (en_reg - ep_reg)  # unbounded vs ~100
+
+
 def test_anomaly_step_dual_branch():
     cfg = tiny(preset("mnist_anomaly"))
     assert cfg.train.q_loss_both_branches and cfg.train.prior_chains == "single"
