@@ -56,7 +56,9 @@ def test_sigterm_checkpoints_and_auto_resume(tmp_path):
     proc = _spawn(repo, log_dir, iters=100000)
     try:
         # Wait until a few iterations have logged, then preempt.
-        deadline = time.time() + 240
+        # Generous: the subprocess pays a cold JAX compile (~2.5 min on an
+        # idle 1-core CPU box, much longer when CI shares the core).
+        deadline = time.time() + 600
         while time.time() < deadline:
             if os.path.exists(metrics) and sum(1 for _ in open(metrics)) >= 3:
                 break
