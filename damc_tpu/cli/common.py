@@ -25,11 +25,30 @@ from ..data.datasets import (
 from ..utils.config import Config, preset
 
 
+def honor_jax_platforms_env() -> None:
+    """Re-apply the `JAX_PLATFORMS` env var through the live config.
+
+    This image's sitecustomize imports jax at interpreter startup (with the
+    axon TPU platform pre-registered), so by the time any CLI main() runs,
+    the env var has already been consumed and setting it has NO effect —
+    `JAX_PLATFORMS=cpu python -m damc_tpu.cli.train_gen_recon ...` would
+    silently run on the TPU. Restore the standard JAX contract by pushing
+    the env value into the config before the backend is touched."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_compile_cache(path: str = "~/.cache/damc/jax_compile") -> None:
     """Persistent XLA compilation cache — long-scan programs can take minutes
-    to compile through remote-compile tunnels; cache them across processes."""
+    to compile through remote-compile tunnels; cache them across processes.
+    Also the common entry hook for every CLI, so it re-applies JAX_PLATFORMS
+    (see honor_jax_platforms_env)."""
     import jax
 
+    honor_jax_platforms_env()
     path = os.path.expanduser(path)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
@@ -156,6 +175,7 @@ def maybe_init_multihost(args) -> None:
     backend query — jax.distributed.initialize refuses to run once XLA is
     initialized. Makes --multihost imply --use_mesh (a multi-host run with
     an unsharded step would silently compute on device 0 of each host)."""
+    honor_jax_platforms_env()
     if getattr(args, "multihost", False):
         from ..parallel.distributed import initialize_distributed
 
@@ -241,15 +261,41 @@ def make_log_dir(cfg: Config) -> str:
     (supersedes the reference's self-copy of the launch script,
     `train_gen_recon.py:46`).
 
+    `--resume_path auto` reuses the NEWEST existing run dir instead of
+    minting a fresh timestamp: preemption recovery is "re-run the same
+    command", so the restarted process must land in the interrupted run's
+    dir — that is where `auto` finds its newest checkpoint, and where the
+    pre-resume metrics.jsonl seeds the CD-gap monitor. A fresh timestamp
+    every invocation would silently start over.
+
     Multi-host: ALL processes must agree on this path — the orbax
     checkpoint save is a coordinated all-host write, and per-host clocks
-    differ, so process 0's timestamp is broadcast to everyone."""
+    (or directory-listing races) differ, so process 0's choice is broadcast
+    to everyone (names are fixed-width timestamps, so the byte-broadcast is
+    shape-safe on every host)."""
     import dataclasses as dc
     import json
 
     import jax
 
-    stamp = dt.datetime.now().strftime("%Y%m%d_%H%M%S")
+    base = osp.join(cfg.train.log_path, cfg.model.dataset)
+    now = dt.datetime.now()
+    stamp = now.strftime("%Y%m%d_%H%M%S")
+    if cfg.train.resume_path == "auto" and osp.isdir(base):
+        runs = sorted(
+            d for d in os.listdir(base)
+            if len(d) == len(stamp) and osp.isdir(osp.join(base, d))
+        )
+        if runs:  # lexicographic == chronological for the timestamp format
+            stamp = runs[-1]
+    else:
+        # Fresh runs must not share a dir: two launches in the same second
+        # would clobber each other's config/metrics. Bump seconds until the
+        # name is free — the stamp stays fixed-width (broadcast shape) and
+        # lexicographically chronological (the `auto` scan above).
+        while osp.exists(osp.join(base, stamp)):
+            now += dt.timedelta(seconds=1)
+            stamp = now.strftime("%Y%m%d_%H%M%S")
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -257,9 +303,9 @@ def make_log_dir(cfg: Config) -> str:
         stamp = bytes(
             np.asarray(multihost_utils.broadcast_one_to_all(raw))
         ).decode()
-    log_dir = osp.join(cfg.train.log_path, cfg.model.dataset, stamp)
+    log_dir = osp.join(base, stamp)
     os.makedirs(log_dir, exist_ok=True)
-    if jax.process_index() == 0:
+    if jax.process_index() == 0 and not osp.exists(osp.join(log_dir, "config.json")):
         with open(osp.join(log_dir, "config.json"), "w") as f:
             json.dump(dc.asdict(cfg), f, indent=2, default=str)
     return log_dir

@@ -24,6 +24,8 @@ from . import sampling
 from .state import DAMCState, ModelBundle, create_state
 from ..utils.checkpoint import save_checkpoint
 from .driver_utils import (
+    CDGapMonitor,
+    broadcast_metric,
     host_local_state,
     host_shard,
     is_primary_host,
@@ -34,6 +36,7 @@ from .driver_utils import (
     preemption_checkpoint,
     put_batch,
     restore_for_resume,
+    shutdown_agreed,
 )
 
 
@@ -143,14 +146,14 @@ def train_anomaly(
     eval_score_fn = make_score_fn(models, cfg)
     import time as _time
 
-    from .driver_utils import CDGapMonitor
-
     cd_monitor = CDGapMonitor()
+    if start_iter > 0:
+        cd_monitor.seed_from_history(logger.path, start_iter)
     last_print = None
     # Preemption-safe loop (see train/gen_recon.py / utils/preemption.py).
     with graceful_shutdown() as shutdown:
         for it in range(start_iter, iterations):
-            if shutdown:
+            if shutdown_agreed(shutdown):
                 preemption_checkpoint(shutdown, ckpt_dir, it, state)
                 break
             x_np, _ = next(stream)
@@ -179,11 +182,7 @@ def train_anomaly(
                     # host or none (orbax multi-process save barriers):
                     # per-host redundant evals could differ in the last
                     # ulp, so gate on host 0's score everywhere.
-                    from jax.experimental import multihost_utils
-
-                    score = float(multihost_utils.broadcast_one_to_all(
-                        np.float64(score)
-                    ))
+                    score = broadcast_metric(score)
                 if score > auc_best:
                     auc_best = score
                     if ckpt_dir:

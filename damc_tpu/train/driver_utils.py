@@ -10,10 +10,12 @@ in lockstep.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 
 from ..parallel import batch_sharding, replicate, replicated
 from ..utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
@@ -116,7 +118,6 @@ def host_local_state(state):
     """Pull a (replicated) multi-host state down to host-local numpy so it
     can be checkpointed / evaluated without touching non-addressable
     devices. No-op copy semantics for fully-addressable arrays."""
-    import numpy as np
 
     def pull(a):
         if isinstance(a, jax.Array) and not a.is_fully_addressable:
@@ -162,9 +163,7 @@ class CDGapMonitor:
         self.factor = factor
         self.fired_at = None
 
-    def update(self, it: int, host_metrics) -> dict:
-        import numpy as np
-
+    def update(self, it: int, host_metrics, quiet: bool = False) -> dict:
         if "e_pos" not in host_metrics or "e_neg" not in host_metrics:
             return {}
         gap = abs(host_metrics["e_pos"] - host_metrics["e_neg"])
@@ -175,34 +174,94 @@ class CDGapMonitor:
         alarmed = gap > self.factor * base
         if alarmed and self.fired_at is None:
             self.fired_at = it
+            if not quiet:
+                print(
+                    f"[damc] WARNING: contrastive-divergence gap runaway at "
+                    f"iteration {it}: |e_pos - e_neg| = {gap:.3e} > "
+                    f"{self.factor:.0f}x warmup median {base:.3e}. The EBM prior "
+                    "chains have likely stopped mixing; later checkpoints will "
+                    "not improve (best-ckpt gating preserves the optimum). See "
+                    "artifacts/CD_DIVERGENCE.md.",
+                    flush=True,
+                )
+        return {"cd_gap_alarm": 1.0 if alarmed else 0.0}
+
+    def seed_from_history(self, metrics_path: Optional[str], upto_iter: int) -> None:
+        """Replay this run's pre-resume gap trajectory (metrics.jsonl) into
+        the monitor. Without this, `--resume_path auto` after runaway onset
+        would re-learn its warmup baseline from already-runaway-scale gaps
+        and silently disarm the alarm for the rest of the run."""
+        if not metrics_path or not os.path.exists(metrics_path):
+            return
+        with open(metrics_path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail line from a preempted writer
+                if row.get("phase") != "train":
+                    continue
+                step = row.get("step")
+                if step is None or step >= upto_iter:
+                    continue
+                self.update(int(step), row, quiet=True)
+        if self.fired_at is not None:
             print(
-                f"[damc] WARNING: contrastive-divergence gap runaway at "
-                f"iteration {it}: |e_pos - e_neg| = {gap:.3e} > "
-                f"{self.factor:.0f}x warmup median {base:.3e}. The EBM prior "
-                "chains have likely stopped mixing; later checkpoints will "
-                "not improve (best-ckpt gating preserves the optimum). See "
-                "artifacts/CD_DIVERGENCE.md.",
+                f"[damc] note: resumed run had already tripped the CD-gap "
+                f"alarm at iteration {self.fired_at}; alarm stays armed with "
+                "the pre-resume warmup baseline.",
                 flush=True,
             )
-        return {"cd_gap_alarm": 1.0 if alarmed else 0.0}
 
 
 def metric_float(v) -> float:
     """Host float from a metric that may live replicated on a multi-host
     mesh (plain float() raises on non-fully-addressable arrays)."""
-    import numpy as np
-
     if isinstance(v, jax.Array) and not v.is_fully_addressable:
         return float(np.asarray(v.addressable_data(0)))
     return float(v)
 
 
+def shutdown_agreed(shutdown) -> bool:
+    """Pod-wide agreement on preemption at an iteration boundary.
+
+    Even a "pod-wide" SIGTERM lands on hosts milliseconds apart, so gating
+    the break on the raw per-host flag could have host A entering the
+    collective orbax save at iteration k while host B is already inside
+    step k's cross-host psum — a deadlock precisely at preemption time.
+    Multi-host runs therefore OR the flag across processes each iteration
+    (every host calls this at the same loop point, so every host sees the
+    same verdict and breaks at the same k). Single-process: just the flag.
+    Cost: one scalar DCN allgather per iteration, ~zero vs a train step."""
+    local = bool(shutdown)
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.int32(local))
+    return bool(np.max(flags))
+
+
+def broadcast_metric(value: float) -> float:
+    """Host-0's value on every host. Gate any collective-save branch (e.g.
+    best-checkpoint) on a broadcast score: per-host redundant evals can
+    differ in the last ulp (BLAS sqrtm, scipy versions), and a branch taken
+    by some hosts but not others deadlocks the orbax save barrier.
+    Single-process: identity."""
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    return float(multihost_utils.broadcast_one_to_all(np.float64(value)))
+
+
 def preemption_checkpoint(shutdown, ckpt_dir: Optional[str], it: int, state) -> None:
     """Save the full state at a signal-interrupted iteration boundary.
 
-    Multi-host note: orbax coordinates multi-process saves internally (all
-    processes must reach this call — true for a pod-wide SIGTERM, which is
-    how preemption is delivered on TPU pods)."""
+    Multi-host note: orbax coordinates multi-process saves internally; the
+    loop gates the break on `shutdown_agreed`, so every process reaches
+    this call at the SAME iteration (the signum print is per-host: a host
+    that never received the local signal logs signum None)."""
     if ckpt_dir:
         jax.block_until_ready(state)
         path = save_checkpoint(ckpt_dir, str(it), state)

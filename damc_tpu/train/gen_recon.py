@@ -27,6 +27,8 @@ from . import sampling
 from .state import DAMCState, create_state
 from ..utils.checkpoint import save_checkpoint
 from .driver_utils import (
+    CDGapMonitor,
+    broadcast_metric,
     host_local_state,
     host_shard,
     is_primary_host,
@@ -37,6 +39,7 @@ from .driver_utils import (
     preemption_checkpoint,
     put_batch,
     restore_for_resume,
+    shutdown_agreed,
 )
 
 
@@ -215,9 +218,9 @@ def train_gen_recon(
     import time as _time
 
     last_print = None
-    from .driver_utils import CDGapMonitor
-
     cd_monitor = CDGapMonitor()
+    if start_iter > 0:
+        cd_monitor.seed_from_history(logger.path, start_iter)
     # Eval programs compiled ONCE (state passed as an argument). FID batches
     # use the reference's bs=500 protocol (`MCMC.py:130,152`), capped by the
     # sample budget for tiny smoke configs.
@@ -249,7 +252,7 @@ def train_gen_recon(
     # cleanly; `--resume_path auto` continues from the newest checkpoint.
     with graceful_shutdown() as shutdown:
         for it in range(start_iter, iterations):
-            if shutdown:
+            if shutdown_agreed(shutdown):
                 preemption_checkpoint(shutdown, ckpt_dir, it, state)
                 break
             with timer.phase("data"):
@@ -331,6 +334,15 @@ def train_gen_recon(
                         recon_fn=recon_fn,
                     )
                     mse_best = min(mse_best, eval_metrics["recon_mse"])
+                if multihost and f"{name}_damc" in eval_metrics:
+                    # frechet_distance finishes with a host-side scipy
+                    # sqrtm: per-host values can differ in the last ulp,
+                    # and the best-ckpt branch below enters an all-host
+                    # orbax save barrier — gate it on host 0's score
+                    # everywhere (same invariant as train/anomaly.py).
+                    eval_metrics[f"{name}_damc"] = broadcast_metric(
+                        eval_metrics[f"{name}_damc"]
+                    )
                 if eval_metrics.get(f"{name}_damc", float("inf")) < fid_best:
                     fid_best = eval_metrics[f"{name}_damc"]
                     if ckpt_dir:

@@ -39,11 +39,14 @@ PEAK_BF16_BY_DEVICE_KIND = {
 
 
 def peak_bf16_flops(device_kind: str):
-    """Chip dense-bf16 peak for an MFU denominator; None if unknown."""
+    """Chip dense-bf16 peak for an MFU denominator; None if unknown.
+
+    Dict insertion order IS the match order (lite/e variants before the
+    bare "v5" catch-all) — add new chips to the dict only."""
     dk = device_kind.lower()
-    for key in ("v5 lite", "v5e", "v6 lite", "v6e", "v5p", "v4", "v5"):
+    for key, peak in PEAK_BF16_BY_DEVICE_KIND.items():
         if key in dk:
-            return PEAK_BF16_BY_DEVICE_KIND[key]
+            return peak
     return None
 
 

@@ -85,3 +85,37 @@ def test_global_batch_single_process():
     arr = make_global_batch(mesh, host)
     assert arr.shape == (16, 2)
     np.testing.assert_array_equal(np.asarray(arr), host)
+
+
+def test_make_log_dir_auto_resume_reuses_newest_run(tmp_path):
+    """Preemption recovery is "re-run the same command": with
+    --resume_path auto, make_log_dir must land in the NEWEST existing run
+    dir (where `auto` finds its checkpoints and metrics.jsonl seeds the
+    CD monitor) instead of minting a fresh timestamp; fresh runs and
+    explicit/absent resume paths keep getting new dirs."""
+    from damc_tpu.cli.common import make_log_dir
+    from damc_tpu.utils.config import _r, preset
+
+    def cfg_with(resume_path):
+        return _r(
+            preset("cifar10"), "train",
+            log_path=str(tmp_path), resume_path=resume_path,
+        )
+
+    cfg = cfg_with("auto")
+    first = make_log_dir(cfg)  # no prior runs: auto creates a fresh dir
+    assert os.path.dirname(first) == str(tmp_path / "cifar10")
+    assert os.path.exists(os.path.join(first, "config.json"))
+
+    older = tmp_path / "cifar10" / "20200101_000000"
+    older.mkdir()  # stale run predating `first`
+
+    assert make_log_dir(cfg) == first  # auto: newest run dir, not a new one
+    # config.json provenance is first-writer-wins (original run's config).
+    assert os.path.exists(os.path.join(first, "config.json"))
+
+    fresh = make_log_dir(cfg_with(None))  # no auto: always a new timestamped dir
+    assert fresh != first and os.path.dirname(fresh) == str(tmp_path / "cifar10")
+
+    explicit = make_log_dir(cfg_with(os.path.join(first, "ckpt", "100")))
+    assert explicit not in (first, fresh)

@@ -194,3 +194,56 @@ def test_cd_gap_monitor_fires_on_runaway(capsys):
     assert capsys.readouterr().out == ""
     # Metrics without energies (e.g. anomaly eval rows) are a no-op.
     assert mon.update(4700, {"g_loss": 1.0}) == {}
+
+
+def test_cd_gap_monitor_seed_from_history_keeps_alarm_armed(tmp_path, capsys):
+    """Resuming after runaway onset must NOT re-learn the warmup baseline
+    from runaway-scale gaps (which would disarm the alarm for the rest of
+    the run). seed_from_history replays the pre-resume metrics.jsonl."""
+    import json
+
+    from damc_tpu.train.driver_utils import CDGapMonitor
+
+    path = tmp_path / "metrics.jsonl"
+    rows = [
+        {"step": it * 50, "phase": "train", "e_pos": -113.0, "e_neg": -98.0}
+        for it in range(6)  # healthy warmup, |gap| = 15
+    ]
+    rows += [
+        {"step": 5000 + i * 50, "phase": "train", "e_pos": -6.4e3, "e_neg": 1.6e4}
+        for i in range(3)  # post-onset runaway rows
+    ]
+    rows.append({"step": 5150, "phase": "eval", "fid_damc": 30.0})  # skipped
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write('{"step": 5200, "phase": "tr')  # torn tail from preemption
+
+    # The buggy behavior this guards against: a FRESH monitor fed only the
+    # post-resume (runaway-scale) stream never alarms.
+    fresh = CDGapMonitor(warmup=5, factor=50.0)
+    for i in range(6):
+        out = fresh.update(5200 + i * 50, {"e_pos": -6.4e3, "e_neg": 1.6e4})
+    assert out == {"cd_gap_alarm": 0.0} and fresh.fired_at is None
+
+    seeded = CDGapMonitor(warmup=5, factor=50.0)
+    seeded.seed_from_history(str(path), upto_iter=5200)
+    assert seeded.fired_at == 5000  # replay re-detected the onset, silently
+    assert "resumed run had already tripped" in capsys.readouterr().out
+    out = seeded.update(5200, {"e_pos": -6.4e3, "e_neg": 1.6e4})
+    assert out == {"cd_gap_alarm": 1.0}  # alarm stays armed post-resume
+    assert capsys.readouterr().out == ""  # and does not re-print
+
+    # Missing / None path: harmless no-op (fresh runs).
+    CDGapMonitor().seed_from_history(None, 100)
+    CDGapMonitor().seed_from_history(str(tmp_path / "absent.jsonl"), 100)
+
+
+def test_shutdown_agreed_single_process_is_the_flag():
+    from damc_tpu.train.driver_utils import shutdown_agreed
+    from damc_tpu.utils.preemption import ShutdownFlag
+
+    flag = ShutdownFlag()
+    assert shutdown_agreed(flag) is False
+    flag.set(15)
+    assert shutdown_agreed(flag) is True
