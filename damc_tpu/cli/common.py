@@ -281,10 +281,19 @@ def make_log_dir(cfg: Config) -> str:
     base = osp.join(cfg.train.log_path, cfg.model.dataset)
     now = dt.datetime.now()
     stamp = now.strftime("%Y%m%d_%H%M%S")
+    def is_run_name(d: str) -> bool:
+        # Exact timestamp shape (8 digits, '_', 6 digits) — a stray 15-char
+        # directory like "baseline_sweep1" must not be adopted as a run.
+        return (
+            len(d) == len(stamp)
+            and d[8] == "_"
+            and (d[:8] + d[9:]).isdigit()
+        )
+
     if cfg.train.resume_path == "auto" and osp.isdir(base):
         runs = sorted(
             d for d in os.listdir(base)
-            if len(d) == len(stamp) and osp.isdir(osp.join(base, d))
+            if is_run_name(d) and osp.isdir(osp.join(base, d))
         )
         if runs:  # lexicographic == chronological for the timestamp format
             stamp = runs[-1]
@@ -305,9 +314,23 @@ def make_log_dir(cfg: Config) -> str:
         ).decode()
     log_dir = osp.join(base, stamp)
     os.makedirs(log_dir, exist_ok=True)
-    if jax.process_index() == 0 and not osp.exists(osp.join(log_dir, "config.json")):
-        with open(osp.join(log_dir, "config.json"), "w") as f:
-            json.dump(dc.asdict(cfg), f, indent=2, default=str)
+    if jax.process_index() == 0:
+        serialized = json.dumps(dc.asdict(cfg), indent=2, default=str)
+        main_cfg = osp.join(log_dir, "config.json")
+        if not osp.exists(main_cfg):
+            with open(main_cfg, "w") as f:
+                f.write(serialized)
+        elif open(main_cfg).read() != serialized:
+            # Auto-resume relaunch with CHANGED hyperparameters (e.g. adding
+            # --e_energy_reg after a CD-gap alarm): config.json stays the
+            # original run's provenance; record what the post-resume
+            # iterations actually ran under, one file per relaunch.
+            resumed = osp.join(
+                log_dir,
+                f"config.resume.{dt.datetime.now().strftime('%Y%m%d_%H%M%S')}.json",
+            )
+            with open(resumed, "w") as f:
+                f.write(serialized)
     return log_dir
 
 

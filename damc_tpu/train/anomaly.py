@@ -162,6 +162,16 @@ def train_anomaly(
 
             if tc.print_every > 0 and it % tc.print_every == 0:
                 host_metrics = {k: metric_float(v) for k, v in metrics.items()}
+                # Failure detection, same as train/gen_recon.py: a NaN'd run
+                # would otherwise train blind to the iteration budget (the
+                # CD monitor never alarms on NaN gaps, and `score > auc_best`
+                # is False for NaN so the stale best ckpt just persists).
+                bad = [k for k, v in host_metrics.items() if not np.isfinite(v)]
+                if bad:
+                    raise FloatingPointError(
+                        f"non-finite training metrics {bad} at iteration {it}; "
+                        f"last metrics: {host_metrics}"
+                    )
                 extra = cd_monitor.update(it, host_metrics)
                 now = _time.perf_counter()
                 if last_print is not None and it > last_print[0]:

@@ -99,12 +99,6 @@ def reconstruct(
     return x_hat, z
 
 
-def recon_mse(x_hat: jax.Array, x: jax.Array) -> jax.Array:
-    """Per-image mean-square error, summed over the batch
-    (`train_gen_recon.py:342`); divide by dataset size outside."""
-    return jnp.sum(recon_mse_per_image(x_hat, x))
-
-
 def recon_mse_per_image(x_hat: jax.Array, x: jax.Array) -> jax.Array:
     """Per-image mean-square error vector (`train_gen_recon.py:342`,
     `torch.mean((x_hat - x) ** 2, dim=[1,2,3])`). Per-image values let the

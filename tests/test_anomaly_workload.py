@@ -44,3 +44,26 @@ def test_anomaly_training_and_auprc(tmp_path):
     assert (tmp_path / "logs" / "metrics.jsonl").exists()
     # best checkpoint saved
     assert (tmp_path / "logs" / "ckpt" / "best").exists()
+
+
+def test_anomaly_nan_fail_fast(tmp_path):
+    """A NaN'd anomaly run must raise at the next print instead of training
+    blind to the iteration budget: the CD monitor never alarms on NaN gaps
+    (comparisons with NaN are False) and `score > auc_best` is False for
+    NaN, so without the fail-fast the stale best ckpt would just persist
+    (same invariant as train/gen_recon.py)."""
+    from damc_tpu.train.anomaly import train_anomaly
+
+    cfg = preset("mnist_anomaly")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, nz=4, ngf=4, nif=4, nxemb=8, ntemb=8),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=2),
+        mcmc=dataclasses.replace(cfg.mcmc, g_l_steps=2, e_l_steps=2),
+        train=dataclasses.replace(
+            cfg.train, batch_size=8, q_updates=1, eval_every=0, print_every=1
+        ),
+    )
+    bad = np.full((16, 28, 28, 1), np.nan, np.float32)
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        train_anomaly(cfg, bad, iterations=3, seed=0)

@@ -109,10 +109,35 @@ def test_make_log_dir_auto_resume_reuses_newest_run(tmp_path):
 
     older = tmp_path / "cifar10" / "20200101_000000"
     older.mkdir()  # stale run predating `first`
+    # 15-char NON-timestamp dirs (sort after digit-leading stamps) must
+    # never be adopted as the resume target.
+    (tmp_path / "cifar10" / "baseline_sweep1").mkdir()
 
     assert make_log_dir(cfg) == first  # auto: newest run dir, not a new one
     # config.json provenance is first-writer-wins (original run's config).
     assert os.path.exists(os.path.join(first, "config.json"))
+
+    # Auto-relaunch with CHANGED hyperparameters: original config.json is
+    # untouched, the new config lands in config.resume.<stamp>.json.
+    changed = cfg_with("auto")
+    import dataclasses
+
+    changed = dataclasses.replace(
+        changed, train=dataclasses.replace(changed.train, e_energy_reg=2e-4)
+    )
+    assert make_log_dir(changed) == first
+    import glob
+    import json
+
+    resumes = glob.glob(os.path.join(first, "config.resume.*.json"))
+    assert len(resumes) == 1
+    assert json.load(open(resumes[0]))["train"]["e_energy_reg"] == 2e-4
+    assert json.load(open(os.path.join(first, "config.json")))["train"][
+        "e_energy_reg"
+    ] != 2e-4
+    # Identical-config relaunch adds no extra provenance file.
+    assert make_log_dir(cfg) == first
+    assert len(glob.glob(os.path.join(first, "config.resume.*.json"))) == 1
 
     fresh = make_log_dir(cfg_with(None))  # no auto: always a new timestamped dir
     assert fresh != first and os.path.dirname(fresh) == str(tmp_path / "cifar10")
