@@ -297,14 +297,21 @@ def make_log_dir(cfg: Config) -> str:
         )
         if runs:  # lexicographic == chronological for the timestamp format
             stamp = runs[-1]
-    else:
+    elif jax.process_index() == 0:
         # Fresh runs must not share a dir: two launches in the same second
-        # would clobber each other's config/metrics. Bump seconds until the
-        # name is free — the stamp stays fixed-width (broadcast shape) and
-        # lexicographically chronological (the `auto` scan above).
-        while osp.exists(osp.join(base, stamp)):
-            now += dt.timedelta(seconds=1)
-            stamp = now.strftime("%Y%m%d_%H%M%S")
+        # would clobber each other's config/metrics. makedirs(exist_ok=False)
+        # makes creation itself the claim — an exists() pre-check alone is a
+        # TOCTOU window where two concurrent launches both adopt the stamp.
+        # Bump seconds until a create succeeds; the stamp stays fixed-width
+        # (broadcast shape) and lexicographically chronological (the `auto`
+        # scan above). Primary-host-only: the other hosts take the broadcast.
+        while True:
+            try:
+                os.makedirs(osp.join(base, stamp), exist_ok=False)
+                break
+            except FileExistsError:
+                now += dt.timedelta(seconds=1)
+                stamp = now.strftime("%Y%m%d_%H%M%S")
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 

@@ -80,7 +80,10 @@ class Prefetcher:
                 item = self._queue.get(timeout=0.1)
             except queue.Empty:
                 if self._stop.is_set():
-                    self._terminal = _End()
+                    # Non-clobbering: a concurrent close() may have just
+                    # latched a drained producer _Error.
+                    if self._terminal is None:
+                        self._terminal = _End()
                     break
                 continue
             if isinstance(item, (_End, _Error)):
@@ -93,18 +96,25 @@ class Prefetcher:
 
     def close(self) -> None:
         self._stop.set()
-        # Latch the terminal state FIRST: a producer stopped via the event
-        # exits without enqueuing _End, so a consumer calling __next__ after
-        # (or concurrently with) close() would otherwise block forever on
-        # queue.get().
-        if self._terminal is None:
-            self._terminal = _End()
-        # Drain so a producer blocked on put() sees the stop event.
+        # Drain so a producer blocked on put() sees the stop event. A
+        # pending producer _Error found while draining is latched in
+        # preference to the close-induced _End: discarding it would make a
+        # dead loader look like a cleanly exhausted stream to any later
+        # __next__, breaking the module docstring's propagation guarantee.
+        # (A consumer concurrently inside get() cannot block forever either
+        # way — __next__ polls with a timeout and checks the stop event.)
+        err = None
         try:
             while True:
-                self._queue.get_nowait()
+                item = self._queue.get_nowait()
+                if isinstance(item, _Error):
+                    err = item
         except queue.Empty:
             pass
+        if err is not None:
+            self._terminal = err
+        elif self._terminal is None:
+            self._terminal = _End()
         self._thread.join(timeout=5.0)
 
     def __enter__(self) -> "Prefetcher":

@@ -19,16 +19,16 @@ from ..metrics.prauc import auprc
 from ..parallel import make_mesh
 from ..utils.config import Config
 from ..utils.preemption import graceful_shutdown
-from ..utils.logging import MetricsLogger
 from . import sampling
 from .state import DAMCState, ModelBundle, create_state
 from ..utils.checkpoint import save_checkpoint
 from .driver_utils import (
     CDGapMonitor,
     broadcast_metric,
+    cd_history_path,
     host_local_state,
     host_shard,
-    is_primary_host,
+    init_driver_logging,
     local_batch_size,
     make_step_fn,
     make_stream,
@@ -111,19 +111,8 @@ def train_anomaly(
     seed = tc.seed if seed is None else seed
     iterations = tc.iterations if iterations is None else iterations
     # Multi-host: checkpoints are all-host orbax saves; jsonl is
-    # primary-only (see train/gen_recon.py).
-    multihost = jax.process_count() > 1
-    if multihost and not use_mesh:
-        raise ValueError(
-            "multi-host training requires use_mesh=True: without a global "
-            "mesh each process would silently train an independent model on "
-            "its own data shard while writing to a shared checkpoint path "
-            "(the CLI's --multihost sets this automatically)"
-        )
-    ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
-    if multihost and not is_primary_host():
-        log_dir = None
-    logger = MetricsLogger(log_dir, echo=is_primary_host())
+    # primary-only (init_driver_logging; see train/gen_recon.py).
+    logger, ckpt_dir, log_dir, multihost = init_driver_logging(log_dir, use_mesh)
 
     key = jax.random.PRNGKey(seed)
     k_init, k_eval = jax.random.split(key)
@@ -148,7 +137,9 @@ def train_anomaly(
 
     cd_monitor = CDGapMonitor()
     if start_iter > 0:
-        cd_monitor.seed_from_history(logger.path, start_iter)
+        cd_monitor.seed_from_history(
+            cd_history_path(logger.path, tc.resume_path), start_iter
+        )
     last_print = None
     # Preemption-safe loop (see train/gen_recon.py / utils/preemption.py).
     with graceful_shutdown() as shutdown:

@@ -19,15 +19,36 @@ import numpy as np
 
 from ..parallel import batch_sharding, replicate, replicated
 from ..utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from ..utils.logging import MetricsLogger
 from .step import make_train_step
 
 
 def resolve_resume_path(resume_path: Optional[str], ckpt_dir: Optional[str]) -> Optional[str]:
     """'auto' -> newest integer checkpoint in this run's ckpt dir (None when
-    the run is fresh); anything else passes through."""
+    the run is fresh); anything else passes through.
+
+    Multi-host: every process must restore the SAME checkpoint. An explicit
+    path is identical on all hosts by construction (same CLI args), but the
+    'auto' listing races on a shared filesystem — host A's directory view
+    can show a checkpoint host B's NFS cache does not yet, and restoring
+    different states silently diverges the "replicated" params. Host 0's
+    resolved step is therefore broadcast, mirroring make_log_dir. (Torn
+    directories from a hard-killed save are already excluded: orbax
+    finalizes via atomic tmp-suffix rename, and latest_step only accepts
+    integer-named dirs.)"""
     if resume_path != "auto":
         return resume_path
     step_no = latest_step(ckpt_dir) if ckpt_dir else None
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        step_no = int(
+            multihost_utils.broadcast_one_to_all(
+                np.int64(-1 if step_no is None else step_no)
+            )
+        )
+        if step_no < 0:
+            step_no = None
     return os.path.join(ckpt_dir, str(step_no)) if step_no is not None else None
 
 
@@ -125,6 +146,47 @@ def host_local_state(state):
         return a
 
     return jax.tree.map(pull, state)
+
+
+def init_driver_logging(log_dir: Optional[str], use_mesh: bool):
+    """Shared driver preamble: multi-host validation + primary-host-only
+    jsonl/side-artifact policy. Returns (logger, ckpt_dir, log_dir,
+    multihost) — `ckpt_dir` stays set on EVERY host (orbax saves are
+    coordinated all-host writes), while the returned `log_dir` is nulled on
+    non-primary hosts so jsonl metrics and image grids are written once."""
+    multihost = jax.process_count() > 1
+    if multihost and not use_mesh:
+        raise ValueError(
+            "multi-host training requires use_mesh=True: without a global "
+            "mesh each process would silently train an independent model on "
+            "its own data shard while writing to a shared checkpoint path "
+            "(the CLI's --multihost sets this automatically)"
+        )
+    ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
+    if multihost and not is_primary_host():
+        log_dir = None
+    logger = MetricsLogger(log_dir, echo=is_primary_host())
+    return logger, ckpt_dir, log_dir, multihost
+
+
+def cd_history_path(logger_path: Optional[str], resume_path: Optional[str]) -> Optional[str]:
+    """metrics.jsonl to replay into the CD-gap monitor on resume.
+
+    `--resume_path auto` relaunches into the original run dir, so the
+    current logger's jsonl IS the pre-resume history. An EXPLICIT
+    `--resume_path <run>/ckpt/<step>` lands in a freshly-stamped dir whose
+    jsonl is empty — without a fallback the monitor would re-learn its
+    warmup baseline from post-resume (possibly already-runaway) gaps and
+    silently disarm. Fall back to the resumed run's own metrics.jsonl, two
+    levels up from the checkpoint step dir."""
+    if logger_path and os.path.exists(logger_path) and os.path.getsize(logger_path):
+        return logger_path
+    if resume_path and resume_path != "auto":
+        run_dir = os.path.dirname(os.path.dirname(resume_path.rstrip("/")))
+        cand = os.path.join(run_dir, "metrics.jsonl")
+        if os.path.exists(cand):
+            return cand
+    return logger_path
 
 
 def make_stream(loader):

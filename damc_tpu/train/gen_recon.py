@@ -21,7 +21,7 @@ from ..metrics.fid import compute_stats, fid_from_samples, images_to_unit
 from ..parallel import batch_sharding, make_mesh
 from ..utils.config import Config
 from ..utils.preemption import graceful_shutdown
-from ..utils.logging import MetricsLogger, save_image_grid
+from ..utils.logging import save_image_grid
 from ..utils.profiling import StepTimer
 from . import sampling
 from .state import DAMCState, create_state
@@ -29,9 +29,10 @@ from ..utils.checkpoint import save_checkpoint
 from .driver_utils import (
     CDGapMonitor,
     broadcast_metric,
+    cd_history_path,
     host_local_state,
     host_shard,
-    is_primary_host,
+    init_driver_logging,
     local_batch_size,
     make_step_fn,
     make_stream,
@@ -161,19 +162,8 @@ def train_gen_recon(
     # Multi-host: every process runs the same global programs. Checkpoints
     # go through orbax, which coordinates multi-process saves itself (ALL
     # hosts call save; log_dir must be a shared path). jsonl metrics and
-    # image grids are primary-host-only.
-    multihost = jax.process_count() > 1
-    if multihost and not use_mesh:
-        raise ValueError(
-            "multi-host training requires use_mesh=True: without a global "
-            "mesh each process would silently train an independent model on "
-            "its own data shard while writing to a shared checkpoint path "
-            "(the CLI's --multihost sets this automatically)"
-        )
-    ckpt_dir = os.path.join(log_dir, "ckpt") if log_dir else None
-    if multihost and not is_primary_host():
-        log_dir = None
-    logger = MetricsLogger(log_dir, echo=is_primary_host())
+    # image grids are primary-host-only (init_driver_logging).
+    logger, ckpt_dir, log_dir, multihost = init_driver_logging(log_dir, use_mesh)
     img_dir = os.path.join(log_dir, "imgs") if log_dir else None
 
     key = jax.random.PRNGKey(seed)
@@ -220,7 +210,9 @@ def train_gen_recon(
     last_print = None
     cd_monitor = CDGapMonitor()
     if start_iter > 0:
-        cd_monitor.seed_from_history(logger.path, start_iter)
+        cd_monitor.seed_from_history(
+            cd_history_path(logger.path, tc.resume_path), start_iter
+        )
     # Eval programs compiled ONCE (state passed as an argument). FID batches
     # use the reference's bs=500 protocol (`MCMC.py:130,152`), capped by the
     # sample budget for tiny smoke configs.

@@ -37,7 +37,11 @@ def restore_checkpoint(directory: str, name: str, target: Any) -> Any:
 
 
 def latest_step(directory: str) -> Optional[int]:
-    """Largest integer-named checkpoint in `directory`, or None."""
+    """Largest integer-named checkpoint in `directory`, or None.
+
+    Torn directories from a hard-killed save are never picked up: orbax
+    writes into a '<name>.orbax-checkpoint-tmp-*' staging dir and commits
+    via atomic rename, and staging names fail the isdigit() filter."""
     if not os.path.isdir(directory):
         return None
     steps = [int(d) for d in os.listdir(directory) if d.isdigit()]

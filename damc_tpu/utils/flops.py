@@ -21,6 +21,8 @@ needs weight gradients — everything is stop_gradient'd except z).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from ..models.encoders import encoder_spec
 from ..models.generators import generator_spec
 
@@ -123,9 +125,14 @@ def generator_fwd_flops(dataset: str, ngf: int, nc: int, nz: int) -> float:
     return total
 
 
-def encoder_fwd_flops(dataset: str, nemb: int, nif: int, image_size: int) -> float:
-    """One encoder forward, per image."""
-    total, size, cin = 0.0, image_size, 3 if dataset != "mnist" else 1
+def encoder_fwd_flops(dataset: str, nemb: int, nif: int, image_size: int,
+                      nc: Optional[int] = None) -> float:
+    """One encoder forward, per image. `nc` is the image channel count
+    (cfg.model.nc); the dataset-based fallback exists for callers that
+    predate the parameter."""
+    if nc is None:
+        nc = 3 if dataset != "mnist" else 1
+    total, size, cin = 0.0, image_size, nc
     for features, kernel, stride, padding, _act in encoder_spec(dataset, nemb, nif):
         f, size = conv_fwd_flops(size, size, cin, features, kernel, stride, padding)
         total += f
@@ -193,7 +200,7 @@ def sampling_phase_flops(cfg, batch: int) -> dict:
     """
     m, d, mc = cfg.model, cfg.diffusion, cfg.mcmc
     g_fwd = generator_fwd_flops(m.dataset, m.ngf, m.nc, m.nz)
-    enc_fwd = encoder_fwd_flops(m.dataset, m.nxemb, m.nif, m.image_size)
+    enc_fwd = encoder_fwd_flops(m.dataset, m.nxemb, m.nif, m.image_size, m.nc)
     den_fwd = denoiser_fwd_flops(m.nz, m.nxemb, m.ntemb, m.nf)
     setup_per_sample, setup_grid = denoiser_sweep_setup_flops(
         m.nz, m.nxemb, m.ntemb, m.nf, d.n_interval

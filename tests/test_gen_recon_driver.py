@@ -239,6 +239,40 @@ def test_cd_gap_monitor_seed_from_history_keeps_alarm_armed(tmp_path, capsys):
     CDGapMonitor().seed_from_history(str(tmp_path / "absent.jsonl"), 100)
 
 
+def test_cd_history_path_explicit_resume_falls_back_to_old_run(tmp_path):
+    """An EXPLICIT --resume_path <run>/ckpt/<step> lands in a freshly
+    stamped log dir whose metrics.jsonl is empty; the monitor must replay
+    the RESUMED run's jsonl (two levels up from the checkpoint step dir),
+    not silently re-learn its baseline from post-resume gaps."""
+    from damc_tpu.train.driver_utils import cd_history_path
+
+    old_run = tmp_path / "old_run"
+    (old_run / "ckpt" / "5000").mkdir(parents=True)
+    old_jsonl = old_run / "metrics.jsonl"
+    old_jsonl.write_text('{"step": 0, "phase": "train"}\n')
+    new_run = tmp_path / "new_run"
+    new_run.mkdir()
+    new_jsonl = new_run / "metrics.jsonl"
+
+    resume = str(old_run / "ckpt" / "5000")
+    # Fresh (empty/absent) current jsonl -> the resumed run's history.
+    assert cd_history_path(str(new_jsonl), resume) == str(old_jsonl)
+    new_jsonl.write_text("")
+    assert cd_history_path(str(new_jsonl), resume) == str(old_jsonl)
+    # Trailing slash on the ckpt path resolves identically.
+    assert cd_history_path(str(new_jsonl), resume + "/") == str(old_jsonl)
+    # auto-resume reuses the original run dir: current jsonl has content.
+    new_jsonl.write_text('{"step": 10, "phase": "train"}\n')
+    assert cd_history_path(str(new_jsonl), "auto") == str(new_jsonl)
+    # Explicit resume whose run dir has no jsonl: keep the current path.
+    bare = tmp_path / "bare" / "ckpt" / "100"
+    bare.mkdir(parents=True)
+    new_jsonl.write_text("")
+    assert cd_history_path(str(new_jsonl), str(bare)) == str(new_jsonl)
+    # No log dir at all (logger.path is None).
+    assert cd_history_path(None, resume) == str(old_jsonl)
+
+
 def test_shutdown_agreed_single_process_is_the_flag():
     from damc_tpu.train.driver_utils import shutdown_agreed
     from damc_tpu.utils.preemption import ShutdownFlag

@@ -1,5 +1,6 @@
 """Background batch prefetcher (data/prefetch.py)."""
 
+import threading
 import time
 
 import numpy as np
@@ -38,6 +39,29 @@ def test_producer_exception_propagates_and_latches():
             next(pf)
         with pytest.raises(ValueError, match="boom"):  # latched, no hang
             next(pf)
+
+
+def test_close_preserves_unconsumed_producer_error():
+    """close() drains the queue to unblock the producer; a not-yet-consumed
+    _Error found in the drain must be latched (not discarded) so a later
+    __next__ still raises — a dead loader must not look cleanly exhausted."""
+    errored = threading.Event()
+
+    def gen():
+        try:
+            raise ValueError("boom")
+            yield  # unreachable; makes this a generator function
+        finally:
+            errored.set()
+
+    pf = Prefetcher(gen(), depth=2)
+    assert errored.wait(timeout=5.0)
+    pf._thread.join(timeout=5.0)  # _Error is now enqueued, unconsumed
+    pf.close()
+    with pytest.raises(ValueError, match="boom"):
+        next(pf)
+    with pytest.raises(ValueError, match="boom"):  # still latched
+        next(pf)
 
 
 def test_exhausted_iterator_latches_stopiteration():
