@@ -144,3 +144,36 @@ def test_make_log_dir_auto_resume_reuses_newest_run(tmp_path):
 
     explicit = make_log_dir(cfg_with(os.path.join(first, "ckpt", "100")))
     assert explicit not in (first, fresh)
+
+
+def test_make_log_dir_concurrent_fresh_launches_get_distinct_dirs(tmp_path):
+    """Two fresh launches in the same wall-clock second must not adopt one
+    run dir (they would interleave metrics.jsonl writes and clobber each
+    other's checkpoints). The claim is makedirs(exist_ok=False) itself — an
+    exists() pre-check alone is a TOCTOU window this race test regresses."""
+    import threading
+
+    from damc_tpu.cli.common import make_log_dir
+    from damc_tpu.utils.config import _r, preset
+
+    cfg = _r(preset("cifar10"), "train", log_path=str(tmp_path), resume_path=None)
+    n = 8
+    dirs, errs = [None] * n, []
+    start = threading.Barrier(n)
+
+    def launch(i):
+        try:
+            start.wait(timeout=30)
+            dirs[i] = make_log_dir(cfg)
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=launch, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs, errs
+    assert len(set(dirs)) == n, f"run-dir collision: {sorted(dirs)}"
+    for d in dirs:
+        assert os.path.isdir(d)

@@ -153,6 +153,75 @@ def test_initialize_noop_single_process():
     assert "NOOP_OK" in out.stdout, out.stdout + out.stderr
 
 
+RESUME_WORKER = """
+import os
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, coord, root = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+sys.path.insert(0, {repo!r})
+from damc_tpu.parallel.distributed import initialize_distributed
+
+initialize_distributed(coordinator_address=coord, num_processes=nproc, process_id=pid)
+
+from damc_tpu.train.driver_utils import resolve_resume_path
+
+# Simulate a shared-FS listing race: host 0's directory view shows
+# checkpoints (500, 1000); host 1's lagging view shows only 500. Every
+# host must adopt host 0's resolution — divergent restores would silently
+# de-replicate the params.
+ckpt_dir = os.path.join(root, f"view{{pid}}")
+os.makedirs(os.path.join(ckpt_dir, "500"))
+if pid == 0:
+    os.makedirs(os.path.join(ckpt_dir, "1000"))
+resolved = resolve_resume_path("auto", ckpt_dir)
+assert resolved == os.path.join(ckpt_dir, "1000"), (pid, resolved)
+
+# Fresh-run agreement: host 0 sees NO checkpoints -> everyone starts fresh,
+# even a host whose view already has one.
+empty_dir = os.path.join(root, f"empty{{pid}}")
+if pid == 1:
+    os.makedirs(os.path.join(empty_dir, "500"))
+assert resolve_resume_path("auto", empty_dir) is None
+
+# Explicit paths pass through untouched (same CLI arg on every host).
+assert resolve_resume_path("/x/ckpt/7", ckpt_dir) == "/x/ckpt/7"
+print("RESUME_OK", pid, flush=True)
+"""
+
+
+def test_two_process_auto_resume_agreement(tmp_path):
+    """resolve_resume_path('auto') must restore the SAME checkpoint on every
+    host: host 0's newest-step listing is broadcast, so a lagging NFS view on
+    another host cannot produce a divergent restore (mirrors make_log_dir's
+    broadcast of the run-dir stamp)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", RESUME_WORKER.format(repo=REPO),
+             str(i), "2", coord, str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"RESUME_OK {i}" in out, out
+
+
 TRAIN_WORKER = """
 import json
 import sys
