@@ -42,6 +42,7 @@ def langevin_sample(
     steps: int,
     step_size: float,
     with_noise: bool = True,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, LangevinDiagnostics]:
     """Run ``steps`` of unadjusted Langevin dynamics on ``energy_fn``.
 
@@ -56,6 +57,9 @@ def langevin_sample(
       steps: static chain length.
       step_size: Langevin step size eps.
       with_noise: include the diffusion noise term (MALA-without-MH style).
+      unroll: ``lax.scan`` unroll factor (numerics-identical; trades HLO
+        size for cross-step scheduling freedom — A/B'd on TPU hardware in
+        ``tools/ab_posterior_unroll.py``).
 
     Returns:
       (z_final, diagnostics); z_final carries no gradient back into the chain
@@ -81,7 +85,7 @@ def langevin_sample(
         return z, diag
 
     step_keys = jax.random.split(key, steps)
-    z_final, diags = jax.lax.scan(body, z_init, step_keys)
+    z_final, diags = jax.lax.scan(body, z_init, step_keys, unroll=unroll)
     return jax.lax.stop_gradient(z_final), diags
 
 
