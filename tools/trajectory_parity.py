@@ -243,8 +243,8 @@ def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=Non
                 for p, tp in zip(Q.parameters(), Q_dummy.parameters()):
                     tp.data.copy_(rho * p.data + (1 - rho) * tp.data)
 
-        traj["g_loss"].append(float(g_loss))
-        traj["q_loss"].append(float(q_loss))
+        traj["g_loss"].append(float(g_loss.detach()))
+        traj["q_loss"].append(float(q_loss.detach()))
         traj["e_pos"].append(float(e_pos.mean()))
         traj["e_neg"].append(float(e_neg.mean()))
         if progress_cb and progress_every and (it + 1) % progress_every == 0:
