@@ -209,6 +209,36 @@ def bench_sampling_phase(models, state, cfg, B=128):
     return chain_steps / dt, mfu
 
 
+def bench_fid_generation(models, state, cfg, n_samples=50_000, batch=500):
+    """Wall seconds for the reference's 50k-sample FID generation sweeps
+    (`train_gen_recon.py:296-322`: n_fid_samples=50000 at bs=500, via the
+    DAMC prior `MCMC.py:146-150` and via the EBM-prior Langevin
+    `MCMC.py:119-128`) — generation only (feature extraction is the FID
+    model's cost, not the sampler's), measured on the per-batch jitted
+    program the driver actually loops (train/gen_recon.py::evaluate_fid)
+    and scaled by the 100-batch round count. No vs_baseline is claimed for
+    this field: the reference publishes no wall numbers for its FID loop,
+    so we report raw seconds + samples/s only."""
+    from damc_tpu.train.sampling import gen_samples_damc_prior, gen_samples_ebm_prior
+
+    rounds = n_samples // batch
+    walls = {}
+    for name, fn in (("damc", gen_samples_damc_prior), ("ebm", gen_samples_ebm_prior)):
+        # One jitted per-batch program, timed over sequential dispatches —
+        # exactly how evaluate_fid deploys it (Python loop over bs=500
+        # batches; per-call dispatch overhead is part of the protocol).
+        # NOT one giant scanned program: a 100-trip scan over the fused
+        # B=500 sweep kernel produced a 9-minute remote compile and tunnel
+        # flakes on this platform for zero deployment realism.
+        run = jax.jit(
+            lambda key, fn=fn: fn(key, state, models, cfg, batch)
+        )
+        dt = timed(run, (jax.random.PRNGKey(5),), iters=5)
+        walls[f"fid_gen_{n_samples // 1000}k_{name}_prior_wall_s"] = round(dt * rounds, 3)
+        walls[f"fid_gen_{name}_prior_samples_per_sec"] = round(batch / dt, 1)
+    return walls
+
+
 def main():
     from damc_tpu.cli.common import enable_compile_cache
 
@@ -220,6 +250,7 @@ def main():
     kernel_single = bench_kernel_single_call(models, state, cfg)
     sweep = bench_reverse_sweep(models, state, cfg)
     phase, mfu = bench_sampling_phase(models, state, cfg)
+    fid_gen = bench_fid_generation(models, state, cfg)
 
     print(
         json.dumps(
@@ -243,6 +274,7 @@ def main():
                     phase / A6000_PHASE_CHAIN_STEPS_PER_SEC, 2
                 ),
                 **mfu,
+                **fid_gen,
             }
         )
     )
