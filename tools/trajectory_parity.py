@@ -245,8 +245,8 @@ def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=Non
 
         traj["g_loss"].append(float(g_loss.detach()))
         traj["q_loss"].append(float(q_loss.detach()))
-        traj["e_pos"].append(float(e_pos.mean()))
-        traj["e_neg"].append(float(e_neg.mean()))
+        traj["e_pos"].append(float(e_pos.detach().mean()))
+        traj["e_neg"].append(float(e_neg.detach().mean()))
         if progress_cb and progress_every and (it + 1) % progress_every == 0:
             progress_cb(it + 1, traj)
 
