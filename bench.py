@@ -72,6 +72,10 @@ A6000_PHASE_CHAIN_STEPS_PER_SEC = 82_000.0  # full sampling phase, B=128
 TRAIN_CHAINS = 256  # 2B prior chains at B=128 (`train_gen_recon.py:206-209`)
 TRAIN_STEPS = 60  # e_l_steps
 ROUNDS = 20
+# Timing repeats (module-level so the CPU smoke test, tests/test_bench_smoke.py,
+# can dial them down; the numbers below are the deployed TPU protocol).
+TIMED_ITERS = 20
+FID_TIMED_ITERS = 5
 
 
 def timed(fn, args, iters):
@@ -104,7 +108,7 @@ def bench_kernel_as_deployed(models, state, cfg) -> float:
         acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, ROUNDS))
         return acc
 
-    dt = timed(run, (jax.random.PRNGKey(3),), iters=20)
+    dt = timed(run, (jax.random.PRNGKey(3),), iters=TIMED_ITERS)
     return TRAIN_CHAINS * TRAIN_STEPS * ROUNDS / dt
 
 
@@ -121,7 +125,7 @@ def bench_kernel_single_call(models, state, cfg) -> float:
             dots_dtype=cfg.train.pallas_dots_dtype,
         )[0]
 
-    dt = timed(run, (jax.random.PRNGKey(2), z), iters=20)
+    dt = timed(run, (jax.random.PRNGKey(2), z), iters=TIMED_ITERS)
     return z.shape[0] * 600 / dt
 
 
@@ -136,7 +140,7 @@ def bench_reverse_sweep(models, state, cfg, B=128) -> float:
     def run(params_q, xx, key):
         return sample_q(params_q, models.amortizer, key, x=xx)
 
-    dt = timed(run, (state.params_q, x, jax.random.PRNGKey(8)), iters=20)
+    dt = timed(run, (state.params_q, x, jax.random.PRNGKey(8)), iters=TIMED_ITERS)
     return B * cfg.diffusion.n_interval / dt
 
 
@@ -172,7 +176,7 @@ def bench_sampling_phase(models, state, cfg, B=128):
         jax.random.PRNGKey(1), (B, 32, 32, 3), minval=-1.0, maxval=1.0
     )
     args = (state.params_q_ema, state.params_g, state.params_e, x, jax.random.PRNGKey(2))
-    dt = timed(sampling_phase, args, iters=20)
+    dt = timed(sampling_phase, args, iters=TIMED_ITERS)
     chain_steps = B * (cfg.diffusion.n_interval + mc.g_l_steps + 2 * mc.e_l_steps)
 
     # MFU evidence (round-3): analytic FLOPs model (utils/flops.py — exact
@@ -233,10 +237,44 @@ def bench_fid_generation(models, state, cfg, n_samples=50_000, batch=500):
         run = jax.jit(
             lambda key, fn=fn: fn(key, state, models, cfg, batch)
         )
-        dt = timed(run, (jax.random.PRNGKey(5),), iters=5)
+        dt = timed(run, (jax.random.PRNGKey(5),), iters=FID_TIMED_ITERS)
         walls[f"fid_gen_{n_samples // 1000}k_{name}_prior_wall_s"] = round(dt * rounds, 3)
         walls[f"fid_gen_{name}_prior_samples_per_sec"] = round(batch / dt, 1)
     return walls
+
+
+def collect(cfg, state, models, B=128, fid_samples=50_000, fid_batch=500) -> dict:
+    """All bench fields as one dict (main prints it; the CPU smoke test
+    calls it with a tiny config and dialed-down module constants)."""
+    kernel_deployed = bench_kernel_as_deployed(models, state, cfg)
+    kernel_single = bench_kernel_single_call(models, state, cfg)
+    sweep = bench_reverse_sweep(models, state, cfg, B=B)
+    phase, mfu = bench_sampling_phase(models, state, cfg, B=B)
+    fid_gen = bench_fid_generation(
+        models, state, cfg, n_samples=fid_samples, batch=fid_batch
+    )
+    return {
+        "metric": "prior_langevin_chain_steps_per_sec",
+        "value": round(kernel_deployed, 1),
+        "unit": "chain-steps/sec",
+        "vs_baseline": round(
+            kernel_deployed / A6000_KERNEL_FLOOR_CHAIN_STEPS_PER_SEC, 2
+        ),
+        "baseline_note": (
+            "A6000 floor 2.56M chain-steps/s = 256 chains / 100us-step"
+            " (generous; see bench.py docstring)"
+        ),
+        "config": f"{TRAIN_CHAINS} chains x {TRAIN_STEPS} steps x {ROUNDS} rounds/program",
+        "backend": jax.default_backend(),
+        "langevin_kernel_single_call_chain_steps_per_sec": round(kernel_single, 1),
+        "reverse_sweep_denoiser_evals_per_sec": round(sweep, 1),
+        "sampling_phase_chain_steps_per_sec": round(phase, 1),
+        "sampling_phase_vs_baseline": round(
+            phase / A6000_PHASE_CHAIN_STEPS_PER_SEC, 2
+        ),
+        **mfu,
+        **fid_gen,
+    }
 
 
 def main():
@@ -245,39 +283,7 @@ def main():
     enable_compile_cache()
     cfg = preset("cifar10")
     state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
-
-    kernel_deployed = bench_kernel_as_deployed(models, state, cfg)
-    kernel_single = bench_kernel_single_call(models, state, cfg)
-    sweep = bench_reverse_sweep(models, state, cfg)
-    phase, mfu = bench_sampling_phase(models, state, cfg)
-    fid_gen = bench_fid_generation(models, state, cfg)
-
-    print(
-        json.dumps(
-            {
-                "metric": "prior_langevin_chain_steps_per_sec",
-                "value": round(kernel_deployed, 1),
-                "unit": "chain-steps/sec",
-                "vs_baseline": round(
-                    kernel_deployed / A6000_KERNEL_FLOOR_CHAIN_STEPS_PER_SEC, 2
-                ),
-                "baseline_note": (
-                    "A6000 floor 2.56M chain-steps/s = 256 chains / 100us-step"
-                    " (generous; see bench.py docstring)"
-                ),
-                "config": f"{TRAIN_CHAINS} chains x {TRAIN_STEPS} steps x {ROUNDS} rounds/program",
-                "backend": jax.default_backend(),
-                "langevin_kernel_single_call_chain_steps_per_sec": round(kernel_single, 1),
-                "reverse_sweep_denoiser_evals_per_sec": round(sweep, 1),
-                "sampling_phase_chain_steps_per_sec": round(phase, 1),
-                "sampling_phase_vs_baseline": round(
-                    phase / A6000_PHASE_CHAIN_STEPS_PER_SEC, 2
-                ),
-                **mfu,
-                **fid_gen,
-            }
-        )
-    )
+    print(json.dumps(collect(cfg, state, models)))
 
 
 if __name__ == "__main__":

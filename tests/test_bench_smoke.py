@@ -1,0 +1,117 @@
+"""bench.py smoke test: the driver's gate artifact must not rot.
+
+The driver runs `python bench.py` on real TPU at the end of every round and
+records the JSON line; nothing else in the suite imports bench.py, so an
+import error or a broken field would only surface there. This smoke test
+runs the full `collect()` pipeline on CPU with a tiny config and dialed-down
+timing repeats and asserts the JSON contract (keys present, values finite
+and positive). Throughput NUMBERS are meaningless on CPU — only structure is
+asserted.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def tiny_cfg():
+    from damc_tpu.utils.config import preset
+
+    cfg = preset("cifar10")
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, nz=16, ngf=8, nif=8, ndf=32, nxemb=24, ntemb=8
+        ),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=6),
+        mcmc=dataclasses.replace(cfg.mcmc, g_l_steps=3, e_l_steps=4),
+    )
+
+
+def test_bench_collect_contract(monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench, "TRAIN_CHAINS", 16)
+    monkeypatch.setattr(bench, "TRAIN_STEPS", 5)
+    monkeypatch.setattr(bench, "ROUNDS", 2)
+    monkeypatch.setattr(bench, "TIMED_ITERS", 1)
+    monkeypatch.setattr(bench, "FID_TIMED_ITERS", 1)
+
+    cfg = tiny_cfg()
+    from damc_tpu.train import create_state
+
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    payload = bench.collect(
+        cfg, state, models, B=8, fid_samples=1000, fid_batch=100
+    )
+
+    # The driver's contract: ONE JSON line with these fields.
+    json.dumps(payload)  # must be serializable
+    required = [
+        "metric", "value", "unit", "vs_baseline", "backend",
+        "langevin_kernel_single_call_chain_steps_per_sec",
+        "reverse_sweep_denoiser_evals_per_sec",
+        "sampling_phase_chain_steps_per_sec",
+        "sampling_phase_vs_baseline",
+        "sampling_phase_analytic_flops",
+        "sampling_phase_wall_s",
+        "sampling_phase_achieved_tflops",
+        "fid_gen_1k_damc_prior_wall_s",
+        "fid_gen_damc_prior_samples_per_sec",
+        "fid_gen_1k_ebm_prior_wall_s",
+        "fid_gen_ebm_prior_samples_per_sec",
+    ]
+    for k in required:
+        assert k in payload, f"bench JSON lost field {k!r}"
+    assert payload["metric"] == "prior_langevin_chain_steps_per_sec"
+    numeric = [k for k in required if k not in ("metric", "unit", "backend")]
+    for k in numeric:
+        v = payload[k]
+        assert np.isfinite(v), f"field {k!r} = {v!r}"
+        if "vs_baseline" not in k:
+            # Ratios vs the TPU-scale A6000 floors legitimately round to
+            # 0.00 on the CPU backend; absolute fields must be positive.
+            assert v > 0, f"field {k!r} = {v!r}"
+    # mfu field exists; it is None off-TPU (unknown peak) and float on TPU.
+    assert "sampling_phase_mfu_vs_bf16_peak" in payload
+
+
+@pytest.mark.slow
+def test_bench_main_prints_one_json_line(tmp_path, monkeypatch):
+    """main() end-to-end — exactly what the driver invokes, minus the TPU
+    backend. Full CIFAR sizes are minutes-per-program on a 1-core CPU, so
+    the preset is patched down; main's own wiring (compile cache, state
+    construction, single-line print) runs unmodified."""
+    import bench
+
+    monkeypatch.setattr(bench, "TRAIN_CHAINS", 16)
+    monkeypatch.setattr(bench, "TRAIN_STEPS", 5)
+    monkeypatch.setattr(bench, "ROUNDS", 1)
+    monkeypatch.setattr(bench, "TIMED_ITERS", 1)
+    monkeypatch.setattr(bench, "FID_TIMED_ITERS", 1)
+    monkeypatch.setattr(bench, "preset", lambda name: tiny_cfg())
+    orig_collect = bench.collect
+    monkeypatch.setattr(
+        bench, "collect",
+        lambda cfg, state, models, **kw: orig_collect(
+            cfg, state, models, B=8, fid_samples=1000, fid_batch=100
+        ),
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    lines = [ln for ln in buf.getvalue().strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"bench must print exactly ONE line, got {lines}"
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "prior_langevin_chain_steps_per_sec"
