@@ -205,7 +205,10 @@ def bench_sampling_phase(models, state, cfg, B=128):
         },
         "sampling_phase_xla_cost_flops_scan_body_once": xla_flops,
         "sampling_phase_wall_s": round(dt, 6),
-        "sampling_phase_achieved_tflops": round(flops / dt / 1e12, 3),
+        # 4 significant digits, NOT fixed decimals: the CPU smoke test's
+        # tiny config runs at <1e-3 TFLOP/s, which fixed-decimal rounding
+        # would collapse to exactly 0.0 (breaking the >0 contract check).
+        "sampling_phase_achieved_tflops": float(f"{flops / dt / 1e12:.4g}"),
         "sampling_phase_mfu_vs_bf16_peak": (
             round(flops / dt / peak, 5) if peak else None
         ),
