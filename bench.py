@@ -228,7 +228,9 @@ def bench_fid_generation(models, state, cfg, n_samples=50_000, batch=500):
     so we report raw seconds + samples/s only."""
     from damc_tpu.train.sampling import gen_samples_damc_prior, gen_samples_ebm_prior
 
-    rounds = n_samples // batch
+    # evaluate_fid's own guard (train/gen_recon.py): n < batch still runs
+    # one batch — a 0-round sweep would report an impossible 0.0s wall.
+    rounds = max(n_samples // batch, 1)
     walls = {}
     for name, fn in (("damc", gen_samples_damc_prior), ("ebm", gen_samples_ebm_prior)):
         # One jitted per-batch program, timed over sequential dispatches —

@@ -290,6 +290,7 @@ def make_log_dir(cfg: Config) -> str:
             and (d[:8] + d[9:]).isdigit()
         )
 
+    adopted = False
     if cfg.train.resume_path == "auto" and osp.isdir(base):
         runs = sorted(
             d for d in os.listdir(base)
@@ -297,12 +298,20 @@ def make_log_dir(cfg: Config) -> str:
         )
         if runs:  # lexicographic == chronological for the timestamp format
             stamp = runs[-1]
-    elif jax.process_index() == 0:
+            adopted = True
+    if not adopted and jax.process_index() == 0:
         # Fresh runs must not share a dir: two launches in the same second
         # would clobber each other's config/metrics. makedirs(exist_ok=False)
         # makes creation itself the claim — an exists() pre-check alone is a
         # TOCTOU window where two concurrent launches both adopt the stamp.
-        # Bump seconds until a create succeeds; the stamp stays fixed-width
+        # An `auto` launch with no adoptable run takes the SAME exclusive
+        # claim (before this, `isdir(base) and not runs` skipped it and two
+        # same-second `auto` relaunches fell through to the shared
+        # makedirs(exist_ok=True)) — but on collision it ADOPTS the winner
+        # instead of bumping: `auto` means "attach to the newest run", and
+        # bumping would split concurrently double-started relaunches (the
+        # preemption-recovery path) across two half-runs. Plain fresh runs
+        # bump seconds until a create succeeds; the stamp stays fixed-width
         # (broadcast shape) and lexicographically chronological (the `auto`
         # scan above). Primary-host-only: the other hosts take the broadcast.
         while True:
@@ -310,6 +319,10 @@ def make_log_dir(cfg: Config) -> str:
                 os.makedirs(osp.join(base, stamp), exist_ok=False)
                 break
             except FileExistsError:
+                if cfg.train.resume_path == "auto":
+                    # stamp is run-shaped, so the colliding dir is a run a
+                    # concurrent relaunch just claimed — converge on it.
+                    break
                 now += dt.timedelta(seconds=1)
                 stamp = now.strftime("%Y%m%d_%H%M%S")
     if jax.process_count() > 1:

@@ -57,9 +57,11 @@ def langevin_sample(
       steps: static chain length.
       step_size: Langevin step size eps.
       with_noise: include the diffusion noise term (MALA-without-MH style).
-      unroll: ``lax.scan`` unroll factor (numerics-identical; trades HLO
-        size for cross-step scheduling freedom — A/B'd on TPU hardware in
-        ``tools/ab_posterior_unroll.py``).
+      unroll: ``lax.scan`` unroll factor — same math and PRNG stream, but
+        NOT bit-identical output: unrolling changes XLA fusion/reassociation
+        and ~30 chained steps amplify rounding to ~1e-2 elementwise (chain
+        statistics unaffected; see ``tools/ab_posterior_unroll.py``). Keep
+        the default on bit-exact parity-gated paths.
 
     Returns:
       (z_final, diagnostics); z_final carries no gradient back into the chain

@@ -92,6 +92,13 @@ def test_bench_main_prints_one_json_line(tmp_path, monkeypatch):
     construction, single-line print) runs unmodified."""
     import bench
 
+    # main() calls enable_compile_cache(), which jax.config.update()s the
+    # cache dir to ~/.cache/damc and the min-compile-time floor to 2.0s —
+    # with no restore, that would defeat the repo-local .jax_cache (0.0s
+    # floor) conftest set up for every test compiled after this one.
+    import damc_tpu.cli.common as cli_common
+
+    monkeypatch.setattr(cli_common, "enable_compile_cache", lambda: None)
     monkeypatch.setattr(bench, "TRAIN_CHAINS", 16)
     monkeypatch.setattr(bench, "TRAIN_STEPS", 5)
     monkeypatch.setattr(bench, "ROUNDS", 1)

@@ -177,3 +177,47 @@ def test_make_log_dir_concurrent_fresh_launches_get_distinct_dirs(tmp_path):
     assert len(set(dirs)) == n, f"run-dir collision: {sorted(dirs)}"
     for d in dirs:
         assert os.path.isdir(d)
+
+
+def test_make_log_dir_concurrent_auto_fresh_launches_converge_on_one_dir(tmp_path):
+    """--resume_path auto with an EXISTING dataset dir but no adoptable run
+    is still a fresh launch and must take the exclusive claim — but `auto`
+    means "attach to the newest run", so concurrently double-started
+    relaunches (the preemption-recovery path) must CONVERGE on exactly one
+    run dir: one claims it, the rest adopt it on collision. The failure
+    modes regressed here are (a) the pre-fix fallthrough where `isdir(base)
+    and not runs` skipped the claim loop (un-owned shared dir), and (b)
+    second-bumping in auto mode, which would split the relaunches across
+    two half-runs."""
+    import threading
+
+    from damc_tpu.cli.common import make_log_dir
+    from damc_tpu.utils.config import _r, preset
+
+    cfg = _r(preset("cifar10"), "train", log_path=str(tmp_path), resume_path="auto")
+    # base exists but holds no run-shaped (timestamp) dirs.
+    (tmp_path / "cifar10" / "baseline_sweep1").mkdir(parents=True)
+
+    n = 8
+    dirs, errs = [None] * n, []
+    start = threading.Barrier(n)
+
+    def launch(i):
+        try:
+            start.wait(timeout=30)
+            dirs[i] = make_log_dir(cfg)
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=launch, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs, errs
+    assert len(set(dirs)) == 1, f"auto relaunch split-brain: {sorted(set(dirs))}"
+    assert os.path.isdir(dirs[0])
+    # The converged dir is run-shaped (adoptable by the NEXT auto relaunch),
+    # and the stray non-run dir was never adopted.
+    name = os.path.basename(dirs[0])
+    assert len(name) == 15 and name[8] == "_" and (name[:8] + name[9:]).isdigit()

@@ -135,11 +135,18 @@ def _stub_reference_deps():
 
 
 def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=None,
-                  progress_cb=None, progress_every=0):
-    """The reference training loop (`train_gen_recon.py:179-261` semantics),
-    executed with the reference's OWN modules from /root/reference/workspace,
-    initialized from the exported damc checkpoint. Returns the same trajectory
-    dict as run_damc plus the torch nets for post-hoc eval."""
+                  progress_cb=None, progress_every=0, variant="gen_recon"):
+    """The reference training loop, executed with the reference's OWN modules
+    from /root/reference/workspace, initialized from the exported damc
+    checkpoint. Returns the same trajectory dict as run_damc plus the torch
+    nets for post-hoc eval.
+
+    variant="gen_recon" is `train_gen_recon.py:179-261` semantics;
+    variant="anomaly" is `train_anomaly_det.py:107-185` — one loop with the
+    anomaly deltas switched in place (G net, fixed all-ones mask so `masks`
+    may be None, B-not-2B prior chains, dual-branch Q loss), so a
+    reference-fidelity fix lands in both harnesses at once. Per-variant
+    torch-RNG draw order is unchanged by the shared body."""
     _stub_reference_deps()
     if REF not in sys.path:
         sys.path.insert(0, REF)
@@ -147,7 +154,12 @@ def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=Non
 
     if torch_threads:
         torch.set_num_threads(torch_threads)
-    from src.diffusion_net import _netE, _netG_cifar10, _netQ_U
+    anomaly = variant == "anomaly"
+    if anomaly:
+        from src.diffusion_net import _netG_mnist as _netG
+    else:
+        from src.diffusion_net import _netG_cifar10 as _netG
+    from src.diffusion_net import _netE, _netQ_U
     from src.MCMC import sample_langevin_post_z_with_prior, sample_langevin_prior_z
 
     m, d, mc, o, tc = cfg.model, cfg.diffusion, cfg.mcmc, cfg.optim, cfg.train
@@ -162,7 +174,7 @@ def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=Non
             net_arch="A", dataset=m.dataset,
         )
 
-    G = _netG_cifar10(nz=m.nz, ngf=m.ngf, nc=m.nc)
+    G = _netG(nz=m.nz, ngf=m.ngf, nc=m.nc)
     Q, Q_dummy = make_q(), make_q()
     E = _netE(nz=m.nz, ndf=m.ndf)
 
@@ -184,7 +196,10 @@ def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=Non
 
     for it in range(len(sched)):
         x = torch.from_numpy(images[sched[it]].transpose(0, 3, 1, 2)).contiguous()
-        z_mask = torch.from_numpy(masks[it]).unsqueeze(-1)
+        if anomaly:  # fixed all-ones mask (`train_anomaly_det.py:133`)
+            z_mask = torch.ones(len(x)).unsqueeze(-1)
+        else:
+            z_mask = torch.from_numpy(masks[it]).unsqueeze(-1)
 
         Q.eval(); G.eval(); E.eval()
         with torch.no_grad():
@@ -197,8 +212,16 @@ def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=Non
             g_llhd_sigma=mc.g_llhd_sigma, g_l_with_noise=mc.g_l_with_noise,
             g_l_step_size=mc.g_l_step_size, verbose=False,
         )
+        if anomaly:
+            # Prior chains from z0 ONLY — B chains, no randn concat
+            # (`train_anomaly_det.py:129-131`).
+            prior_init = zk_neg
+        else:
+            prior_init = torch.cat(
+                [zk_neg, torch.randn_like(zk_neg, requires_grad=True)], dim=0
+            )
         zk_neg = sample_langevin_prior_z(
-            z=torch.cat([zk_neg, torch.randn_like(zk_neg, requires_grad=True)], dim=0),
+            z=prior_init,
             netE=E, e_l_steps=mc.e_l_steps, e_l_step_size=mc.e_l_step_size,
             e_l_with_noise=mc.e_l_with_noise, verbose=False,
         )
@@ -206,7 +229,15 @@ def run_reference(cfg, pth_path, images, sched, masks, seed=0, torch_threads=Non
         for _ in range(tc.q_updates):
             Q_opt.zero_grad()
             Q.train()
-            q_loss = Q.calculate_loss(x=x, z=zk_pos, mask=z_mask).mean()
+            if anomaly:
+                # Dual-branch loss: conditional AND unconditional every step
+                # (`train_anomaly_det.py:134-140`).
+                q_loss = (
+                    Q.calculate_loss(x=x, z=zk_pos, mask=z_mask).mean()
+                    + Q.calculate_loss(x=x, z=zk_pos, mask=1 - z_mask).mean()
+                )
+            else:
+                q_loss = Q.calculate_loss(x=x, z=zk_pos, mask=z_mask).mean()
             q_loss.backward()
             torch.nn.utils.clip_grad_norm_(Q.parameters(), max_norm=o.q_max_norm)
             Q_opt.step()

@@ -41,11 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from trajectory_parity import (  # noqa: E402
     METRIC_KEYS,
-    REF,
-    _stub_reference_deps,
     batch_schedule,
     compare_trajectories,
     run_damc,
+    run_reference,
 )
 
 
@@ -94,128 +93,15 @@ def run_reference_anomaly(
     progress_cb=None, progress_every=0,
 ):
     """The reference anomaly training loop (`train_anomaly_det.py:107-185`
-    semantics), executed with the reference's OWN modules, initialized from
-    the exported damc checkpoint. Returns (trajectory dict, torch nets)."""
-    _stub_reference_deps()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    import torch
-
-    if torch_threads:
-        torch.set_num_threads(torch_threads)
-    from src.diffusion_net import _netE, _netG_mnist, _netQ_U
-    from src.MCMC import sample_langevin_post_z_with_prior, sample_langevin_prior_z
-
-    m, d, mc, o, tc = cfg.model, cfg.diffusion, cfg.mcmc, cfg.optim, cfg.train
-    torch.manual_seed(seed)
-
-    def make_q():
-        return _netQ_U(
-            nc=m.nc, nz=m.nz, nxemb=m.nxemb, ntemb=m.ntemb, nif=m.nif,
-            diffusion_residual=d.residual, n_interval=d.n_interval,
-            logsnr_min=d.logsnr_min, logsnr_max=d.logsnr_max,
-            var_type=d.var_type, with_noise=d.with_noise, cond_w=d.cond_w,
-            net_arch="A", dataset=m.dataset,
-        )
-
-    G = _netG_mnist(nz=m.nz, ngf=m.ngf, nc=m.nc)
-    Q, Q_dummy = make_q(), make_q()
-    E = _netE(nz=m.nz, ndf=m.ndf)
-
-    ckpt = torch.load(pth_path, map_location="cpu", weights_only=True)
-    G.load_state_dict(ckpt["G_state_dict"])
-    Q.load_state_dict(ckpt["Q_state_dict"])
-    Q_dummy.load_state_dict(ckpt["Q_dummy_state_dict"])
-    E.load_state_dict(ckpt["E_state_dict"])
-
-    # `train_anomaly_det.py:84-86`: Adam for G/E, AdamW(weight_decay=0) for Q.
-    G_opt = torch.optim.Adam(G.parameters(), lr=o.g_lr, betas=o.betas)
-    Q_opt = torch.optim.AdamW(
-        Q.parameters(), weight_decay=o.q_weight_decay, lr=o.q_lr, betas=o.betas
+    semantics) — the shared torch-loop driver with the anomaly deltas
+    switched in (G net, fixed all-ones mask, B-not-2B prior chains,
+    dual-branch Q loss): tools/trajectory_parity.py::run_reference,
+    variant="anomaly". Returns (trajectory dict, torch nets)."""
+    return run_reference(
+        cfg, pth_path, images, sched, masks=None, seed=seed,
+        torch_threads=torch_threads, progress_cb=progress_cb,
+        progress_every=progress_every, variant="anomaly",
     )
-    E_opt = torch.optim.Adam(E.parameters(), lr=o.e_lr, betas=o.betas)
-
-    g_lr, q_lr, e_lr = o.g_lr, o.q_lr, o.e_lr
-    rho = tc.ema_rho
-    traj = {k: [] for k in METRIC_KEYS}
-
-    for it in range(len(sched)):
-        x = torch.from_numpy(images[sched[it]].transpose(0, 3, 1, 2)).contiguous()
-        # Fixed all-ones mask (`train_anomaly_det.py:133`).
-        z_mask = torch.ones(len(x)).unsqueeze(-1)
-
-        Q.eval(); G.eval(); E.eval()
-        with torch.no_grad():
-            z0 = Q_dummy(x)
-        zk_pos, zk_neg = z0.detach().clone(), z0.detach().clone()
-        zk_pos.requires_grad = True
-        zk_neg.requires_grad = True
-        zk_pos = sample_langevin_post_z_with_prior(
-            z=zk_pos, x=x, netG=G, netE=E, g_l_steps=mc.g_l_steps,
-            g_llhd_sigma=mc.g_llhd_sigma, g_l_with_noise=mc.g_l_with_noise,
-            g_l_step_size=mc.g_l_step_size, verbose=False,
-        )
-        # Prior chains from z0 ONLY — B chains, no randn concat
-        # (`train_anomaly_det.py:129-131`).
-        zk_neg = sample_langevin_prior_z(
-            z=zk_neg, netE=E, e_l_steps=mc.e_l_steps,
-            e_l_step_size=mc.e_l_step_size, e_l_with_noise=mc.e_l_with_noise,
-            verbose=False,
-        )
-
-        for _ in range(tc.q_updates):
-            Q_opt.zero_grad()
-            Q.train()
-            # Dual-branch loss: conditional AND unconditional every step
-            # (`train_anomaly_det.py:134-140`).
-            q_loss_p = Q.calculate_loss(x=x, z=zk_pos, mask=z_mask).mean()
-            q_loss_n = Q.calculate_loss(x=x, z=zk_pos, mask=1 - z_mask).mean()
-            q_loss = q_loss_p + q_loss_n
-            q_loss.backward()
-            torch.nn.utils.clip_grad_norm_(Q.parameters(), max_norm=o.q_max_norm)
-            Q_opt.step()
-
-        G_opt.zero_grad()
-        G.train()
-        x_hat = G(zk_pos)
-        g_loss = torch.sum((x_hat - x) ** 2, dim=[1, 2, 3]).mean()
-        g_loss.backward()
-        torch.nn.utils.clip_grad_norm_(G.parameters(), max_norm=o.g_max_norm)
-        G_opt.step()
-
-        E_opt.zero_grad()
-        E.train()
-        e_pos, e_neg = E(zk_pos), E(zk_neg)
-        e_loss = e_pos.mean() - e_neg.mean()
-        e_loss.backward()
-        torch.nn.utils.clip_grad_norm_(E.parameters(), max_norm=o.e_max_norm)
-        E_opt.step()
-
-        Q.eval(); G.eval(); E.eval()
-        if (it + 1) % o.lr_decay_every == 0:
-            g_lr = max(g_lr * o.lr_decay, o.lr_floor)
-            q_lr = max(q_lr * o.lr_decay, o.lr_floor)
-            e_lr = max(e_lr * o.lr_decay, o.lr_floor)
-            for grp in G_opt.param_groups:
-                grp["lr"] = g_lr
-            for grp in Q_opt.param_groups:
-                grp["lr"] = q_lr
-            for grp in E_opt.param_groups:
-                grp["lr"] = e_lr
-        if (it + 1) % tc.ema_every == 0:
-            with torch.no_grad():
-                for p, tp in zip(Q.parameters(), Q_dummy.parameters()):
-                    tp.data.copy_(rho * p.data + (1 - rho) * tp.data)
-
-        traj["g_loss"].append(float(g_loss.detach()))
-        traj["q_loss"].append(float(q_loss.detach()))
-        traj["e_pos"].append(float(e_pos.detach().mean()))
-        traj["e_neg"].append(float(e_neg.detach().mean()))
-        if progress_cb and progress_every and (it + 1) % progress_every == 0:
-            progress_cb(it + 1, traj)
-
-    nets = {"G": G, "Q": Q, "Q_dummy": Q_dummy, "E": E}
-    return {k: np.asarray(v) for k, v in traj.items()}, nets
 
 
 def reference_eval_auprc(nets, cfg, test_images, test_labels, batch=200,
