@@ -19,7 +19,6 @@ from ..data.datasets import (
     load_cifar10,
     load_image_folder,
     load_image_folder_cached,
-    load_mnist_anomaly,
     load_svhn,
 )
 from ..utils.config import Config, preset

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from .diffusion import (
     sweep_logsnr_grid,
     diffusion_reverse,
-    logsnr_schedule,
     pred_x_from_eps,
 )
 

@@ -17,7 +17,6 @@ from ..models.amortizer import sample_q
 from ..ops.langevin import (
     langevin_sample,
     posterior_energy,
-    prior_energy,
     prior_langevin_auto,
 )
 from ..utils.config import Config

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from damc_tpu.ops import langevin_sample, prior_energy
 from damc_tpu.parallel import batch_sharding, make_mesh, replicate, replicated, shard_batch

@@ -28,7 +28,6 @@ from damc_tpu.models.stylegan import (  # noqa: E402
     mapping_apply,
     num_synthesis_layers,
     sample_w_codes,
-    synthesis_apply,
     truncation_apply,
     vgg16_features,
 )

@@ -189,7 +189,7 @@ def test_export_cli_roundtrip_with_convert_cli(tmp_path):
     from damc_tpu.cli import convert_checkpoint, export_checkpoint
     from damc_tpu.train import create_state
     from damc_tpu.utils import preset
-    from damc_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+    from damc_tpu.utils.checkpoint import save_checkpoint
 
     cfg = preset("mnist_anomaly")
     cfg = dataclasses.replace(

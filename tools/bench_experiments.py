@@ -20,7 +20,6 @@ from damc_tpu.models.amortizer import sample_q
 from damc_tpu.ops.langevin import (
     langevin_sample,
     posterior_energy,
-    prior_energy,
     prior_langevin_auto,
 )
 from damc_tpu.train import create_state

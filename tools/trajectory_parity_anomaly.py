@@ -40,7 +40,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from trajectory_parity import (  # noqa: E402
-    METRIC_KEYS,
     batch_schedule,
     compare_trajectories,
     run_damc,
