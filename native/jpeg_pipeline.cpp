@@ -140,6 +140,18 @@ void crop_resize(const std::vector<uint8_t>& rgb, int w, int h, int out_size,
                  uint8_t* out) {
   const int crop = std::min(w, h);
   const int top = (h - crop) / 2, left = (w - crop) / 2;
+  if (crop == out_size) {
+    // Identity resize: Lanczos-3 at scale 1.0 with this center alignment
+    // has lanczos3(i - x) weights, i.e. exactly delta(i == x) — the full
+    // two-pass convolution would reproduce the input. Copy the crop.
+    for (int y = 0; y < crop; ++y) {
+      const uint8_t* src =
+          rgb.data() + (static_cast<size_t>(y + top) * w + left) * 3;
+      std::memcpy(out + static_cast<size_t>(y) * out_size * 3, src,
+                  static_cast<size_t>(out_size) * 3);
+    }
+    return;
+  }
   const ResampleAxis ax = build_axis(crop, out_size);
 
   // Horizontal pass: (crop rows) x (out_size cols), float.

@@ -39,7 +39,8 @@ def smooth_image(h, w, seed):
 
 
 class TestParityWithPIL:
-    @pytest.mark.parametrize("hw", [(64, 64), (80, 48), (37, 91)])
+    # (32, 40) crops to 32 == out_size: the identity-resize memcpy fast path.
+    @pytest.mark.parametrize("hw", [(64, 64), (80, 48), (37, 91), (32, 40)])
     def test_matches_pil_reference_transform(self, hw):
         from damc_tpu.data.datasets import _decode_crop_resize
 
