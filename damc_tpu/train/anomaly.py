@@ -25,6 +25,7 @@ from ..utils.checkpoint import save_checkpoint
 from .driver_utils import (
     CDGapMonitor,
     broadcast_metric,
+    cd_gap_ceiling,
     cd_history_path,
     host_local_state,
     host_shard,
@@ -135,7 +136,7 @@ def train_anomaly(
     eval_score_fn = make_score_fn(models, cfg)
     import time as _time
 
-    cd_monitor = CDGapMonitor()
+    cd_monitor = CDGapMonitor(gap_ceiling=cd_gap_ceiling(tc.e_energy_reg))
     if start_iter > 0:
         cd_monitor.seed_from_history(
             cd_history_path(logger.path, tc.resume_path), start_iter

@@ -217,12 +217,24 @@ class CDGapMonitor:
     Alarm rule: |gap| > factor x median(|gap| over the first `warmup`
     observations). With the default print cadence this fires ~500 iters
     after onset and ~20k before the g_loss side degrades (both 25k-iter
-    endurance runs)."""
+    endurance runs).
 
-    def __init__(self, warmup: int = 20, factor: float = 50.0):
+    `gap_ceiling` raises the alarm threshold to at least that value. Used
+    by the drivers when `train.e_energy_reg` > 0: the regularized E loss
+    pins mean energies at the analytic fixed points ∓1/(2α), so the gap
+    DESIGNEDLY saturates at 1/α — far above factor x warmup median, but
+    bounded and healthy (CD_DIVERGENCE.md experiment 3; the reg2e4 run
+    holds ∓2500 ± 0.4% for >13k iters with g_loss flat). Without the
+    ceiling the alarm latches on every regularized run at plateau approach;
+    with it, firing means the gap escaped the regularizer's guarantee —
+    a real failure again."""
+
+    def __init__(self, warmup: int = 20, factor: float = 50.0,
+                 gap_ceiling: Optional[float] = None):
         self._warm = []
         self.warmup = warmup
         self.factor = factor
+        self.gap_ceiling = gap_ceiling
         self.fired_at = None
 
     def update(self, it: int, host_metrics, quiet: bool = False) -> dict:
@@ -233,14 +245,21 @@ class CDGapMonitor:
             self._warm.append(gap)
             return {"cd_gap_alarm": 0.0}
         base = max(float(np.median(self._warm)), 1e-3)
-        alarmed = gap > self.factor * base
+        threshold = self.factor * base
+        if self.gap_ceiling is not None:
+            threshold = max(threshold, self.gap_ceiling)
+        alarmed = gap > threshold
         if alarmed and self.fired_at is None:
             self.fired_at = it
             if not quiet:
                 print(
                     f"[damc] WARNING: contrastive-divergence gap runaway at "
                     f"iteration {it}: |e_pos - e_neg| = {gap:.3e} > "
-                    f"{self.factor:.0f}x warmup median {base:.3e}. The EBM prior "
+                    f"threshold {threshold:.3e} ({self.factor:.0f}x warmup "
+                    f"median {base:.3e}"
+                    + (f", ceiling {self.gap_ceiling:.3e}"
+                       if self.gap_ceiling is not None else "")
+                    + "). The EBM prior "
                     "chains have likely stopped mixing; later checkpoints will "
                     "not improve (best-ckpt gating preserves the optimum). See "
                     "artifacts/CD_DIVERGENCE.md.",
@@ -274,6 +293,16 @@ class CDGapMonitor:
                 "the pre-resume warmup baseline.",
                 flush=True,
             )
+
+
+def cd_gap_ceiling(e_energy_reg: float) -> Optional[float]:
+    """CDGapMonitor ceiling for a run with the opt-in E-energy regularizer:
+    the analytic stationary gap is 1/α (mean energies pinned at ∓1/(2α),
+    `train/step.py`), so only gaps beyond 1.25x that — escaped the
+    regularizer's bound — are alarming. 25% headroom covers the observed
+    plateau oscillation (<2% in the endurance runs). None when α = 0
+    (exact reference CD: any sustained growth is runaway)."""
+    return 1.25 / e_energy_reg if e_energy_reg > 0.0 else None
 
 
 def metric_float(v) -> float:

@@ -29,6 +29,7 @@ from ..utils.checkpoint import save_checkpoint
 from .driver_utils import (
     CDGapMonitor,
     broadcast_metric,
+    cd_gap_ceiling,
     cd_history_path,
     host_local_state,
     host_shard,
@@ -208,7 +209,7 @@ def train_gen_recon(
     import time as _time
 
     last_print = None
-    cd_monitor = CDGapMonitor()
+    cd_monitor = CDGapMonitor(gap_ceiling=cd_gap_ceiling(tc.e_energy_reg))
     if start_iter > 0:
         cd_monitor.seed_from_history(
             cd_history_path(logger.path, tc.resume_path), start_iter

@@ -196,6 +196,34 @@ def test_cd_gap_monitor_fires_on_runaway(capsys):
     assert mon.update(4700, {"g_loss": 1.0}) == {}
 
 
+def test_cd_gap_monitor_ceiling_tolerates_regularizer_plateau(capsys):
+    """With train.e_energy_reg = α > 0 the E loss pins mean energies at the
+    analytic fixed points ∓1/(2α) (CD_DIVERGENCE.md experiment 3), so the
+    gap DESIGNEDLY saturates at 1/α — far above 50x the healthy warmup
+    median. The drivers therefore pass gap_ceiling = 1.25/α: the plateau
+    must NOT alarm, while a gap escaping the regularizer's bound must."""
+    from damc_tpu.train.driver_utils import CDGapMonitor, cd_gap_ceiling
+
+    alpha = 2e-4  # the reg2e4 endurance-run setting; fixed points ∓2500
+    assert cd_gap_ceiling(0.0) is None  # exact reference CD: no ceiling
+    assert cd_gap_ceiling(alpha) == 1.25 / alpha  # 6250
+
+    mon = CDGapMonitor(warmup=5, factor=50.0, gap_ceiling=cd_gap_ceiling(alpha))
+    for it in range(5):  # healthy warmup, |gap| ~ 15
+        mon.update(it * 10, {"e_pos": -113.0, "e_neg": -98.0 + it})
+    # Plateau approach and steady state (reg2e4_100k anatomy): gap rises
+    # through 50x median (~750) up to ~1/α = 5000. No alarm anywhere.
+    for it, (ep, en) in [(5000, (-1406.0, 1317.0)), (12000, (-2592.0, 2476.0)),
+                         (24950, (-2493.0, 2504.0))]:
+        assert mon.update(it, {"e_pos": ep, "e_neg": en}) == {"cd_gap_alarm": 0.0}
+    assert mon.fired_at is None and capsys.readouterr().out == ""
+    # A gap beyond the ceiling means the regularizer's guarantee failed:
+    # that IS a real alarm again.
+    out = mon.update(30000, {"e_pos": -4.0e3, "e_neg": 4.0e3})
+    assert out == {"cd_gap_alarm": 1.0} and mon.fired_at == 30000
+    assert "ceiling 6.250e+03" in capsys.readouterr().out
+
+
 def test_cd_gap_monitor_seed_from_history_keeps_alarm_armed(tmp_path, capsys):
     """Resuming after runaway onset must NOT re-learn the warmup baseline
     from runaway-scale gaps (which would disarm the alarm for the rest of
