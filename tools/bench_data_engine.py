@@ -151,13 +151,17 @@ def main():
 
     if args.quick:
         assembly = bench_batch_assembly(n_images=512, res=32, batch=64, n_batches=4)
-        jpeg = bench_jpeg_decode(n_bufs=8, src_res=256, dst_res=256, rounds=1)
+        # Two scale regimes: crop==out (identity fast path, decode-bound)
+        # and a real Lanczos downscale (LSUN sources are larger than 256).
+        jpeg_id = bench_jpeg_decode(n_bufs=8, src_res=256, dst_res=256, rounds=1)
+        jpeg_dn = bench_jpeg_decode(n_bufs=8, src_res=400, dst_res=256, rounds=1)
     else:
-        # CIFAR-scale assembly; LSUN-scale (256^2) JPEG decode.
+        # CIFAR-scale assembly; LSUN-scale (256^2 output) JPEG decode.
         assembly = bench_batch_assembly(
             n_images=50_000, res=32, batch=128, n_batches=100
         )
-        jpeg = bench_jpeg_decode(n_bufs=64, src_res=256, dst_res=256, rounds=5)
+        jpeg_id = bench_jpeg_decode(n_bufs=64, src_res=256, dst_res=256, rounds=5)
+        jpeg_dn = bench_jpeg_decode(n_bufs=64, src_res=400, dst_res=256, rounds=5)
 
     payload = {
         "cpu_count": os.cpu_count(),
@@ -165,9 +169,18 @@ def main():
         "assembly_cifar_scale": {
             k: (round(v, 1) if v else v) for k, v in assembly.items()
         },
-        "jpeg_decode_256": {k: (round(v, 1) if v else v) for k, v in jpeg.items()},
+        "jpeg_decode_256_identity": {
+            k: (round(v, 1) if v else v) for k, v in jpeg_id.items()
+        },
+        "jpeg_decode_400_to_256": {
+            k: (round(v, 1) if v else v) for k, v in jpeg_dn.items()
+        },
     }
-    for section in ("assembly_cifar_scale", "jpeg_decode_256"):
+    for section in (
+        "assembly_cifar_scale",
+        "jpeg_decode_256_identity",
+        "jpeg_decode_400_to_256",
+    ):
         vals = payload[section]
         base = vals.get("torch_dataloader_images_per_sec") or vals.get(
             "pil_decode_images_per_sec"
