@@ -74,6 +74,10 @@ def cmd_run(args):
             # dynamics run: no FID/plots — maximize iters/hour; periodic
             # ckpt retained so the run is resumable after preemption.
             eval_every=0, plot_every=0, ckpt_every=5000,
+            # --resume: continue a preempted/stalled run from its newest
+            # checkpoint (the log_dir IS the run dir here, so 'auto'
+            # resolves against <log_dir>/ckpt; metrics.jsonl appends).
+            resume_path="auto" if args.resume else None,
         ),
     )
     imgs = synthetic_uint8(args.n_images, res, seed=0)
@@ -173,6 +177,8 @@ def main():
     r.add_argument("--print_every", type=int, default=50)
     r.add_argument("--e_energy_reg", type=float, default=0.0,
                    help="EBM energy regularizer alpha (0 = reference CD)")
+    r.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint in --log_dir")
     r.add_argument("--log_dir", required=True)
     r.set_defaults(fn=cmd_run)
     a = sub.add_parser("analyze")
