@@ -41,13 +41,12 @@ import sys
 import time
 
 
-def heartbeat_age(path: str, fallback: float) -> tuple:
-    """(seconds since the heartbeat file was last modified, file_exists).
-    `fallback` is the reference time while the file does not exist yet."""
+def heartbeat_mtime(path: str):
+    """The heartbeat file's mtime, or None while it does not exist."""
     try:
-        return time.time() - os.path.getmtime(path), True
+        return os.path.getmtime(path)
     except OSError:
-        return time.time() - fallback, False
+        return None
 
 
 def terminate(proc: subprocess.Popen, grace_seconds: float, log=print) -> None:
@@ -80,11 +79,13 @@ def supervise(
     (0 on success; the child's last nonzero code when the restart budget is
     exhausted; 1 when the budget is exhausted by stalls).
 
-    While the heartbeat FILE does not exist yet, staleness is measured from
-    launch against `startup_grace_seconds` (default 4x stale_seconds):
-    startup legitimately runs long before the first heartbeat — interpreter
-    + framework import, dataset synthesis, and the first device compile are
-    all minutes-scale on the targets this supervises."""
+    Until the CURRENT incarnation's first beat (an mtime after its launch;
+    a pre-existing stale file from the killed predecessor does not count),
+    staleness is measured from launch against `startup_grace_seconds`
+    (default 4x stale_seconds): startup legitimately runs long before the
+    first heartbeat — interpreter + framework import, dataset synthesis,
+    and the first device compile are all minutes-scale on the targets this
+    supervises."""
     if startup_grace_seconds is None:
         startup_grace_seconds = 4.0 * stale_seconds
     restarts_left = max_restarts
@@ -106,13 +107,22 @@ def supervise(
                 break
             except subprocess.TimeoutExpired:
                 pass
-            age, exists = heartbeat_age(heartbeat, launched_at)
-            limit = stale_seconds if exists else startup_grace_seconds
+            # Only a beat from THIS incarnation counts: after a stall-kill
+            # the file exists but is stale by construction (the previous
+            # child stopped writing it) — judging a fresh child by its
+            # predecessor's mtime would kill it before its first beat.
+            mtime = heartbeat_mtime(heartbeat)
+            if mtime is not None and mtime > launched_at:
+                age, limit, label = time.time() - mtime, stale_seconds, "stale"
+            else:
+                age, limit, label = (
+                    time.time() - launched_at, startup_grace_seconds,
+                    "no beat from this incarnation",
+                )
             if age > limit:
                 log(
-                    f"[watchdog] heartbeat {heartbeat} "
-                    f"{'stale' if exists else 'absent'} >{limit:.0f}s at "
-                    f"pid {proc.pid}; killing for restart"
+                    f"[watchdog] heartbeat {heartbeat} {label} "
+                    f">{limit:.0f}s at pid {proc.pid}; killing for restart"
                 )
                 terminate(proc, grace_seconds, log)
                 stalled = True
