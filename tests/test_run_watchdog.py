@@ -107,6 +107,100 @@ def test_progress_refills_restart_budget(tmp_path):
     assert len(count.read_text()) == 4
 
 
+def test_same_step_relog_does_not_refill_budget(tmp_path):
+    """A resumed incarnation that only re-logs its resume step (a JSONL
+    heartbeat line with step <= the predecessor's) before dying again must
+    NOT count as progress — otherwise a deterministic wedge-after-resume
+    relaunches forever and --max-restarts never engages."""
+    from run_watchdog import supervise
+
+    hb = tmp_path / "metrics.jsonl"
+    count = tmp_path / "launches"
+    hb.write_text('{"step": 5000, "phase": "train"}\n')
+    cmd = write_child(
+        tmp_path,
+        f"""
+        open({str(count)!r}, "a").write("x")
+        # resume re-logs the checkpoint step, then 'wedges' (crashes here)
+        open({str(hb)!r}, "a").write('{{"step": 5000, "phase": "train"}}\\n')
+        raise SystemExit(3)
+        """,
+    )
+    rc = supervise(
+        cmd, heartbeat=str(hb), stale_seconds=30.0, max_restarts=1,
+        poll_seconds=0.1, grace_seconds=0.5, log=lambda *a: None,
+    )
+    assert rc == 3
+    # initial launch + exactly the budgeted 1 restart, despite mtime changes
+    assert len(count.read_text()) == 2
+
+
+def test_advancing_step_refills_budget(tmp_path):
+    """JSONL heartbeats whose step advances between incarnations refill the
+    budget (the step-aware analog of test_progress_refills_restart_budget)."""
+    from run_watchdog import supervise
+
+    hb = tmp_path / "metrics.jsonl"
+    count = tmp_path / "launches"
+    cmd = write_child(
+        tmp_path,
+        f"""
+        import os
+        n = len(open({str(count)!r}).read()) if os.path.exists({str(count)!r}) else 0
+        open({str(count)!r}, "a").write("x")
+        open({str(hb)!r}, "a").write('{{"step": %d}}\\n' % (1000 * (n + 1)))
+        raise SystemExit(0 if n >= 3 else 3)
+        """,
+    )
+    rc = supervise(
+        cmd, heartbeat=str(hb), stale_seconds=30.0, max_restarts=1,
+        poll_seconds=0.1, grace_seconds=0.5, log=lambda *a: None,
+    )
+    assert rc == 0
+    assert len(count.read_text()) == 4
+
+
+def test_sigterm_to_watchdog_terminates_child(tmp_path):
+    """Killing the supervisor must not orphan the training child: SIGTERM to
+    the watchdog process forwards termination to the child before exiting."""
+    import signal
+    import subprocess
+    import time
+
+    hb = tmp_path / "metrics.jsonl"
+    child_pid_file = tmp_path / "child.pid"
+    child = write_child(
+        tmp_path,
+        f"""
+        import os, time
+        open({str(child_pid_file)!r}, "w").write(str(os.getpid()))
+        time.sleep(3600)
+        """,
+    )
+    watchdog = subprocess.Popen(
+        [sys.executable, "-S", os.path.join(REPO, "tools", "run_watchdog.py"),
+         "--heartbeat", str(hb), "--stale-seconds", "3600",
+         "--grace-seconds", "1", "--"] + child,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 20
+    while not child_pid_file.exists() and time.time() < deadline:
+        time.sleep(0.05)
+    assert child_pid_file.exists(), "child never launched"
+    child_pid = int(child_pid_file.read_text())
+    watchdog.send_signal(signal.SIGTERM)
+    assert watchdog.wait(timeout=20) == 128 + signal.SIGTERM
+    # the exact child PID must be gone (or a zombie reaped by init shortly)
+    for _ in range(100):
+        try:
+            os.kill(child_pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.05)
+    else:
+        pytest.fail(f"child pid {child_pid} still alive after watchdog SIGTERM")
+
+
 def test_cli_requires_separator(tmp_path):
     from run_watchdog import main
 

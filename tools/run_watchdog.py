@@ -28,16 +28,24 @@ This supervisor does exactly that:
   --max-restarts times. A restart only counts against the budget if the
   previous incarnation never advanced the heartbeat (made no progress);
   progress resets the budget, so a run that stalls every few hours still
-  finishes while a crash-loop stops quickly.
+  finishes while a crash-loop stops quickly. Progress means the last
+  parsed ``{"step": N}`` in the heartbeat ADVANCED (a resumed incarnation
+  that merely re-logs its resume step before wedging again does not refill
+  the budget); for non-JSONL heartbeats it falls back to file growth.
+* SIGTERM/SIGINT to the watchdog terminates the child (SIGTERM -> grace ->
+  SIGKILL) before exiting, so killing the supervisor cannot orphan a
+  training process that would then race a relaunched one for the run dir.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import signal
 import subprocess
 import sys
+import threading
 import time
 
 
@@ -47,6 +55,34 @@ def heartbeat_mtime(path: str):
         return os.path.getmtime(path)
     except OSError:
         return None
+
+
+def heartbeat_state(path: str):
+    """(last_step, size) of the heartbeat: the ``step`` field of the last
+    parseable JSON line in the final 8 KiB (None when the tail holds no such
+    line), and the file size. (None, None) while the file does not exist."""
+    try:
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            f.seek(max(0, size - 8192))
+            tail = f.read().decode("utf-8", "replace")
+    except OSError:
+        return (None, None)
+    for line in reversed(tail.splitlines()):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and isinstance(rec.get("step"), (int, float)):
+            return (rec["step"], size)
+    return (None, size)
+
+
+class _Interrupted(Exception):
+    """Raised by the supervisor's signal handlers to unwind into cleanup."""
 
 
 def terminate(proc: subprocess.Popen, grace_seconds: float, log=print) -> None:
@@ -90,61 +126,88 @@ def supervise(
         startup_grace_seconds = 4.0 * stale_seconds
     restarts_left = max_restarts
     attempt = 0
-    while True:
-        attempt += 1
-        launched_at = time.time()
-        start_mtime = None
-        try:
-            start_mtime = os.path.getmtime(heartbeat)
-        except OSError:
-            pass
-        log(f"[watchdog] launch #{attempt}: {' '.join(cmd)}")
-        proc = subprocess.Popen(cmd)
-        stalled = False
+    proc = None
+
+    def _on_signal(signum, frame):
+        raise _Interrupted(signum)
+
+    # Forward operator/preemption signals to the child: without this a
+    # SIGTERM to the watchdog kills only the supervisor and orphans the
+    # training process (which would then race any relaunch for the run dir).
+    # signal.signal is main-thread-only; tests driving supervise() from a
+    # worker thread just keep Python's defaults.
+    old_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            old_handlers[sig] = signal.signal(sig, _on_signal)
+    try:
         while True:
-            try:
-                proc.wait(timeout=poll_seconds)
-                break
-            except subprocess.TimeoutExpired:
-                pass
-            # Only a beat from THIS incarnation counts: after a stall-kill
-            # the file exists but is stale by construction (the previous
-            # child stopped writing it) — judging a fresh child by its
-            # predecessor's mtime would kill it before its first beat.
-            mtime = heartbeat_mtime(heartbeat)
-            if mtime is not None and mtime > launched_at:
-                age, limit, label = time.time() - mtime, stale_seconds, "stale"
+            attempt += 1
+            launched_at = time.time()
+            start_step, start_size = heartbeat_state(heartbeat)
+            log(f"[watchdog] launch #{attempt}: {' '.join(cmd)}")
+            proc = subprocess.Popen(cmd)
+            stalled = False
+            while True:
+                try:
+                    proc.wait(timeout=poll_seconds)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                # Only a beat from THIS incarnation counts: after a stall-kill
+                # the file exists but is stale by construction (the previous
+                # child stopped writing it) — judging a fresh child by its
+                # predecessor's mtime would kill it before its first beat.
+                mtime = heartbeat_mtime(heartbeat)
+                if mtime is not None and mtime > launched_at:
+                    age, limit, label = time.time() - mtime, stale_seconds, "stale"
+                else:
+                    age, limit, label = (
+                        time.time() - launched_at, startup_grace_seconds,
+                        "no beat from this incarnation",
+                    )
+                if age > limit:
+                    log(
+                        f"[watchdog] heartbeat {heartbeat} {label} "
+                        f">{limit:.0f}s at pid {proc.pid}; killing for restart"
+                    )
+                    terminate(proc, grace_seconds, log)
+                    stalled = True
+                    break
+            code = proc.returncode
+            if not stalled and code == 0:
+                log(f"[watchdog] child exited cleanly after attempt #{attempt}")
+                return 0
+            # Progress = the logged step ADVANCED. A resumed incarnation that
+            # only re-logs its resume step (<= the predecessor's last step)
+            # before wedging again must not refill the budget, or a
+            # deterministic wedge-after-resume loops forever. Heartbeats
+            # without parseable steps fall back to file growth.
+            end_step, end_size = heartbeat_state(heartbeat)
+            if end_step is not None:
+                progressed = start_step is None or end_step > start_step
+            elif end_size is not None:
+                progressed = start_size is None or end_size != start_size
             else:
-                age, limit, label = (
-                    time.time() - launched_at, startup_grace_seconds,
-                    "no beat from this incarnation",
-                )
-            if age > limit:
-                log(
-                    f"[watchdog] heartbeat {heartbeat} {label} "
-                    f">{limit:.0f}s at pid {proc.pid}; killing for restart"
-                )
-                terminate(proc, grace_seconds, log)
-                stalled = True
-                break
-        code = proc.returncode
-        if not stalled and code == 0:
-            log(f"[watchdog] child exited cleanly after attempt #{attempt}")
-            return 0
-        progressed = False
-        try:
-            progressed = os.path.getmtime(heartbeat) != start_mtime
-        except OSError:
-            pass
-        if progressed:
-            restarts_left = max_restarts  # forward progress refills the budget
-        else:
-            restarts_left -= 1
-        why = "stall" if stalled else f"exit code {code}"
-        if restarts_left < 0:
-            log(f"[watchdog] {why}, restart budget exhausted; giving up")
-            return 1 if stalled else int(code or 1)
-        log(f"[watchdog] {why}; restarting ({restarts_left} budget left)")
+                progressed = False
+            if progressed:
+                restarts_left = max_restarts  # forward progress refills the budget
+            else:
+                restarts_left -= 1
+            why = "stall" if stalled else f"exit code {code}"
+            if restarts_left < 0:
+                log(f"[watchdog] {why}, restart budget exhausted; giving up")
+                return 1 if stalled else int(code or 1)
+            log(f"[watchdog] {why}; restarting ({restarts_left} budget left)")
+    except _Interrupted as exc:
+        signum = exc.args[0]
+        log(f"[watchdog] received signal {signum}; terminating child before exit")
+        if proc is not None:
+            terminate(proc, grace_seconds, log)
+        return 128 + int(signum)
+    finally:
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
 
 
 def main(argv=None):
