@@ -182,15 +182,19 @@ def main():
         "jpeg_decode_400_to_256",
     ):
         vals = payload[section]
-        base = vals.get("torch_dataloader_images_per_sec") or vals.get(
-            "pil_decode_images_per_sec"
+        base_key = (
+            "torch_dataloader_images_per_sec"
+            if vals.get("torch_dataloader_images_per_sec")
+            else "pil_decode_images_per_sec"
         )
+        base = vals.get(base_key)
         for k, v in list(vals.items()):
-            if v and base and k != "quick":
+            if v and base and k != base_key:
                 vals[k + "_vs_ref_path"] = round(v / base, 2)
     print(json.dumps(payload, indent=2))
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        if os.path.dirname(args.out):
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=2)
         print(f"-> {args.out}")

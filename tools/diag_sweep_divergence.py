@@ -89,37 +89,18 @@ def main():
 def _sweep_with_zt(enc, x_np, zt_np, n_interval, res, q_seed):
     """Reference stylegan sweep from an ARBITRARY z_T: replicates
     `_netQ_U.forward`'s loop (diffusion_net_stylegan.py:361-394) calling the
-    module's own submodules, so no seed-bridge assert is needed."""
-    import tempfile
-
+    module's own submodules, so no seed-bridge assert is needed. The module
+    itself comes from the SAME builder the parity harness uses."""
     import torch
 
-    import src.diffusion_net_stylegan as dns
+    from trajectory_parity_inversion import build_reference_q
     from src.diffusion_helper_func import (
         diffusion_reverse,
         logsnr_schedule_fn,
         pred_x_from_eps,
     )
 
-    with tempfile.TemporaryDirectory() as td:
-        e_pth = os.path.join(td, "enc.pth")
-        torch.save(enc.state_dict(), e_pth)
-        orig_encoder = dns.StyleGANEncoder
-        dns.StyleGANEncoder = lambda weight_path: orig_encoder(
-            weight_path=weight_path, resolution=res
-        )
-        try:
-            torch.manual_seed(q_seed)
-            nz = zt_np.shape[1]
-            Q = dns._netQ_U(
-                nc=3, nz=nz, nxemb=nz, ntemb=128, diffusion_residual=True,
-                n_interval=n_interval, logsnr_min=-5.1, logsnr_max=9.8,
-                var_type="large", with_noise=False, cond_w=0, net_arch="A",
-                weight_path=e_pth,
-            )
-        finally:
-            dns.StyleGANEncoder = orig_encoder
-    Q.eval()
+    Q = build_reference_q(enc, n_interval, res, q_seed, nz=zt_np.shape[1])
     x_t = torch.from_numpy(np.ascontiguousarray(x_np.transpose(0, 3, 1, 2)))
     b = len(x_np)
     with torch.no_grad():

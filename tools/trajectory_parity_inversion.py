@@ -143,13 +143,15 @@ def run_reference_invert(gen, vgg, x_np, z0_np, steps, lr, nz):
     return z_ref.detach().numpy(), mse / len(x_np)
 
 
-def run_reference_sweep(enc, x_np, zt_np, n_interval, res, q_seed):
-    """The REAL stylegan `_netQ_U.forward`, noiseless, from a captured z_T.
+def build_reference_q(enc, n_interval, res, q_seed, nz):
+    """Seeded reference stylegan `_netQ_U` in eval mode, sharing one
+    construction between this harness and tools/diag_sweep_divergence.py
+    (any ctor/shim change must hit both comparisons identically).
 
     The ctor builds `StyleGANEncoder(weight_path)` at hardcoded
     resolution 256 (`diffusion_net_stylegan.py:327`); rebinding the symbol
     passes the harness resolution through — the encoder class itself is
-    untouched. Returns (z0, xemb, Q_state_dict)."""
+    untouched."""
     import torch
 
     import src.diffusion_net_stylegan as dns
@@ -163,7 +165,6 @@ def run_reference_sweep(enc, x_np, zt_np, n_interval, res, q_seed):
         )
         try:
             torch.manual_seed(q_seed)
-            nz = zt_np.shape[1]
             Q = dns._netQ_U(
                 nc=3, nz=nz, nxemb=nz, ntemb=128, diffusion_residual=True,
                 n_interval=n_interval, logsnr_min=-5.1, logsnr_max=9.8,
@@ -173,6 +174,16 @@ def run_reference_sweep(enc, x_np, zt_np, n_interval, res, q_seed):
         finally:
             dns.StyleGANEncoder = orig_encoder
     Q.eval()
+    return Q
+
+
+def run_reference_sweep(enc, x_np, zt_np, n_interval, res, q_seed):
+    """The REAL stylegan `_netQ_U.forward`, noiseless, from a captured z_T
+    (seed-bridged). Returns (z0, xemb, Q_state_dict)."""
+    import torch
+
+    nz = zt_np.shape[1]
+    Q = build_reference_q(enc, n_interval, res, q_seed, nz)
     x_t = torch.from_numpy(np.ascontiguousarray(x_np.transpose(0, 3, 1, 2)))
 
     # Bridge the sweep init: forward's first draw is z_T = randn(b, nz)
@@ -331,7 +342,8 @@ def main():
     )
     print(json.dumps(out, indent=2))
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        if os.path.dirname(args.out):
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
         print(f"-> {args.out}")
