@@ -148,6 +148,13 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
         "--fid_batch_size", type=int, default=None,
         help="FID sample-generation batch (reference MCMC.py:130: 500)",
     )
+    p.add_argument(
+        "--data_placement", type=str, default=None,
+        choices=["auto", "device", "host"],
+        help="training-batch feed: 'auto' keeps array stores resident in "
+        "device HBM (on-device shuffle/flip, no per-iteration transfer), "
+        "'host' forces the host loader + per-batch device_put",
+    )
     # intervals (reference: print/plot/ckpt/fid_iter, `train_gen_recon.py:399-404`)
     p.add_argument("--print_every", type=int, default=None)
     p.add_argument("--plot_every", type=int, default=None)
@@ -251,6 +258,7 @@ def config_from_args(args, preset_name: Optional[str] = None) -> Config:
         ckpt_every=args.ckpt_every,
         eval_every=args.eval_every,
         e_energy_reg=args.e_energy_reg,
+        data_placement=args.data_placement,
     )
     return cfg
 

@@ -14,7 +14,6 @@ from typing import Optional, Tuple
 import jax
 import numpy as np
 
-from ..data.native_loader import make_loader
 from ..metrics.prauc import auprc
 from ..parallel import make_mesh
 from ..utils.config import Config
@@ -28,14 +27,11 @@ from .driver_utils import (
     cd_gap_ceiling,
     cd_history_path,
     host_local_state,
-    host_shard,
     init_driver_logging,
-    local_batch_size,
+    make_batch_source,
     make_step_fn,
-    make_stream,
     metric_float,
     preemption_checkpoint,
-    put_batch,
     restore_for_resume,
     shutdown_agreed,
 )
@@ -122,15 +118,12 @@ def train_anomaly(
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     step, state = make_step_fn(models, opts, cfg, mesh, state)
 
-    loader = make_loader(
-        host_shard(train_images),
-        batch_size=local_batch_size(tc.batch_size),
-        shuffle=True,
-        drop_last=True,
-        augment_flip=False,  # no flip aug in anomaly (`train_anomaly_det.py:49-56`)
-        seed=seed + jax.process_index() * 7919,
+    # no flip aug in anomaly (`train_anomaly_det.py:49-56`); placement as
+    # in train/gen_recon.py (device-resident when eligible).
+    next_batch, close_data, data_placement = make_batch_source(
+        train_images, tc, mesh, seed, augment_flip=False
     )
-    stream = make_stream(loader)
+    print(f"[damc] training-batch placement: {data_placement}")
 
     auc_best = 0.0
     eval_score_fn = make_score_fn(models, cfg)
@@ -148,8 +141,7 @@ def train_anomaly(
             if shutdown_agreed(shutdown):
                 preemption_checkpoint(shutdown, ckpt_dir, it, state)
                 break
-            x_np, _ = next(stream)
-            x = put_batch(mesh, x_np)
+            x = next_batch()
             state, metrics = step(state, x)
 
             if tc.print_every > 0 and it % tc.print_every == 0:
@@ -191,6 +183,5 @@ def train_anomaly(
                         save_checkpoint(ckpt_dir, "best", state)
                 logger.log(it, {"auprc": score, "auprc_best": auc_best}, prefix="eval")
 
-    if hasattr(stream, "close"):
-        stream.close()
+    close_data()
     return state, auc_best

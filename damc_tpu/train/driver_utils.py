@@ -200,6 +200,74 @@ def make_stream(loader):
     return stream
 
 
+def make_batch_source(train_images, tc, mesh, seed, augment_flip=True):
+    """One `next_batch()` per training iteration, device-ready either way.
+
+    Placement (`tc.data_placement`):
+      * 'device', or 'auto' when eligible (single-host + materialized
+        array store under the HBM budget): `DeviceDataset` — the whole
+        store lives in HBM; each batch is an on-device gather/flip (and
+        carries the mesh `data` sharding) with ZERO per-iteration
+        host→device transfer. On this platform the per-batch transfer is
+        the training loop's wall bottleneck (data/device_data.py).
+      * 'host', or the fallback: host loader (native C++ engine when
+        possible) with background prefetch, then `put_batch`.
+
+    Returns (next_batch, close, placement_str)."""
+    placement = getattr(tc, "data_placement", "auto")
+    if placement not in ("auto", "device", "host"):
+        raise ValueError(f"data_placement must be auto|device|host, got {placement!r}")
+    from ..data.device_data import fits_device
+
+    eligible = jax.process_count() == 1 and fits_device(train_images)
+    if placement == "device" and not eligible:
+        raise ValueError(
+            "data_placement='device' but the store is ineligible "
+            "(multi-host run, lazy dataset, or over the HBM budget) — "
+            "use 'auto' or 'host'"
+        )
+    if placement != "host" and eligible:
+        from ..data.device_data import DeviceDataset
+
+        stream = DeviceDataset(
+            train_images,
+            batch_size=tc.batch_size,
+            shuffle=True,
+            drop_last=True,
+            augment_flip=augment_flip,
+            seed=seed,
+            mesh=mesh,
+        ).stream()
+
+        def next_batch():
+            x, _ = next(stream)
+            return x
+
+        return next_batch, lambda: None, "device"
+
+    from ..data.native_loader import make_loader
+
+    loader = make_loader(
+        host_shard(train_images),
+        batch_size=local_batch_size(tc.batch_size),
+        shuffle=True,
+        drop_last=True,
+        augment_flip=augment_flip,
+        seed=seed + jax.process_index() * 7919,
+    )
+    stream = make_stream(loader)
+
+    def next_batch():
+        x_np, _ = next(stream)
+        return put_batch(mesh, x_np)
+
+    def close():
+        if hasattr(stream, "close"):
+            stream.close()
+
+    return next_batch, close, "host"
+
+
 class CDGapMonitor:
     """Early warning for EBM contrastive-divergence runaway (failure
     detection, SURVEY.md §5).

@@ -16,7 +16,6 @@ from typing import Callable, Dict, Optional
 import jax
 import numpy as np
 
-from ..data.native_loader import make_loader
 from ..metrics.fid import compute_stats, fid_from_samples, images_to_unit
 from ..parallel import batch_sharding, make_mesh
 from ..utils.config import Config
@@ -32,14 +31,11 @@ from .driver_utils import (
     cd_gap_ceiling,
     cd_history_path,
     host_local_state,
-    host_shard,
     init_driver_logging,
-    local_batch_size,
+    make_batch_source,
     make_step_fn,
-    make_stream,
     metric_float,
     preemption_checkpoint,
-    put_batch,
     restore_for_resume,
     shutdown_agreed,
 )
@@ -187,19 +183,16 @@ def train_gen_recon(
             (unit[i : i + 256] for i in range(0, len(unit), 256)),
         )
 
-    # Native C++ batch engine for uint8 stores; NumPy fallback otherwise.
-    # Multi-host: each host epoch-shuffles its DISJOINT partition of the
-    # dataset and loads its per-host share of the global batch; put_batch
+    # Training feed: device-resident (HBM store, on-device shuffle/flip,
+    # no per-iteration transfer) when eligible, else the host path —
+    # native C++ batch engine for uint8 stores with background prefetch,
+    # NumPy fallback otherwise. Multi-host always takes the host path:
+    # each host epoch-shuffles its DISJOINT partition and put_batch
     # assembles the global array.
-    loader = make_loader(
-        host_shard(train_images),
-        batch_size=local_batch_size(tc.batch_size),
-        shuffle=True,
-        drop_last=True,
-        augment_flip=True,
-        seed=seed + jax.process_index() * 7919,
+    next_batch, close_data, data_placement = make_batch_source(
+        train_images, tc, mesh, seed
     )
-    stream = make_stream(loader)
+    print(f"[damc] training-batch placement: {data_placement}")
 
     fid_best = mse_best = float("inf")
     timer = StepTimer()
@@ -249,8 +242,7 @@ def train_gen_recon(
                 preemption_checkpoint(shutdown, ckpt_dir, it, state)
                 break
             with timer.phase("data"):
-                x_np, _ = next(stream)
-                x = put_batch(mesh, x_np)
+                x = next_batch()
             with timer.phase("train_step"):
                 state, metrics = step(state, x)
 
@@ -345,6 +337,5 @@ def train_gen_recon(
                 if eval_metrics:
                     logger.log(it, eval_metrics, prefix="eval")
 
-    if hasattr(stream, "close"):
-        stream.close()
+    close_data()
     return state

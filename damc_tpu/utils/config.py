@@ -122,6 +122,12 @@ class TrainConfig:
     # (artifacts/CD_DIVERGENCE.md). A small alpha bounds the energy scale
     # so e_pos/e_neg cannot grow without bound on long horizons.
     e_energy_reg: float = 0.0
+    # Training-batch placement: 'auto' puts array-backed stores that fit
+    # the HBM budget fully on device (on-device epoch shuffle/gather/flip,
+    # zero per-iteration host->device transfer — data/device_data.py);
+    # 'host' forces the host loader + per-batch device_put path; 'device'
+    # requires the device path and errors when ineligible.
+    data_placement: str = "auto"
     print_every: int = 100
     plot_every: int = 1000
     ckpt_every: int = 50_000

@@ -70,6 +70,7 @@ def cmd_run(args):
         train=dataclasses.replace(
             cfg.train,
             e_energy_reg=args.e_energy_reg,
+            data_placement=args.data_placement,
             print_every=args.print_every,
             # dynamics run: no FID/plots — maximize iters/hour; periodic
             # ckpt retained so the run is resumable after preemption.
@@ -179,6 +180,9 @@ def main():
                    help="EBM energy regularizer alpha (0 = reference CD)")
     r.add_argument("--resume", action="store_true",
                    help="continue from the newest checkpoint in --log_dir")
+    r.add_argument("--data_placement", default="auto",
+                   choices=["auto", "device", "host"],
+                   help="training-batch feed (device = HBM-resident store)")
     r.add_argument("--log_dir", required=True)
     r.set_defaults(fn=cmd_run)
     a = sub.add_parser("analyze")
