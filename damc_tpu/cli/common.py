@@ -155,6 +155,11 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
         "device HBM (on-device shuffle/flip, no per-iteration transfer), "
         "'host' forces the host loader + per-batch device_put",
     )
+    p.add_argument(
+        "--data_device_budget_gb", type=float, default=None,
+        help="HBM budget for the device-resident store (default 8 GB: "
+        "admits CelebA-HQ-256's 5.9 GB on a 16 GB chip)",
+    )
     # intervals (reference: print/plot/ckpt/fid_iter, `train_gen_recon.py:399-404`)
     p.add_argument("--print_every", type=int, default=None)
     p.add_argument("--plot_every", type=int, default=None)
@@ -259,6 +264,7 @@ def config_from_args(args, preset_name: Optional[str] = None) -> Config:
         eval_every=args.eval_every,
         e_energy_reg=args.e_energy_reg,
         data_placement=args.data_placement,
+        data_device_budget_gb=args.data_device_budget_gb,
     )
     return cfg
 

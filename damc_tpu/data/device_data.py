@@ -1,22 +1,34 @@
 """Device-resident training-data sampler: batches are produced IN HBM.
 
 TPU-first replacement for the host feed path (Loader/NativeLoader →
-`jax.device_put` per batch). The reference streams every batch through the
-host (`train_gen_recon.py:109-111,180-185`); on this platform that
-host→device copy is the measured wall bottleneck of the whole training
-loop — the 100k-iter endurance run recorded `time_s/data` ≈ 0.05–0.19 s
-per iteration against a 0.026 s train step (`artifacts/cd_runs/
-reg2e4_100k/metrics.jsonl`), i.e. the TPU idled ~75% of the time waiting
-on batch transfers over the device tunnel.
+`jax.device_put` per batch; the reference streams every batch through the
+host, `train_gen_recon.py:109-111,180-185`). `DeviceDataset` transfers the
+whole store to device memory ONCE and makes each batch with a tiny jitted
+program (dynamic-slice of a per-epoch permutation + gather + optional
+horizontal flip + uint8→[-1,1] normalization), so the per-iteration host
+cost is one async dispatch (~1 ms) and zero bulk transfer. A CIFAR-scale
+uint8 store is 150 MB — noise next to the 16 GB+ of HBM per chip;
+`fits_device` gates the auto-dispatch for stores that genuinely don't fit
+(lazy LSUN/ImageFolder datasets keep the host pipeline).
 
-`DeviceDataset` transfers the whole store to device memory ONCE and makes
-each batch with a tiny jitted program (dynamic-slice of a per-epoch
-permutation + gather + optional horizontal flip + uint8→[-1,1]
-normalization), so the per-iteration host cost is one async dispatch
-(~1 ms) and zero bulk transfer. A CIFAR-scale uint8 store is 150 MB —
-noise next to the 16 GB+ of HBM per chip; `fits_device` gates the
-auto-dispatch for stores that genuinely don't fit (lazy LSUN/ImageFolder
-datasets keep the host pipeline).
+Measured value (tools/ab_data_placement.py, alternating-block A/B on the
+real chip, artifacts/ab_data_placement.json): on an IDLE host at CIFAR
+scale the win is small — 7.78 vs 7.72 iters/s (+0.7%) — because the fused
+train step (0.136 s, artifacts/train_step_profile.json) dominates and the
+host feed pipelines behind it. (The endurance run's `time_s/data` ≈
+0.05–0.19 s that originally motivated this module was async-dispatch wait
+MISATTRIBUTED to the data phase — the host-side `device_put` blocks behind
+the in-flight step; see StepTimer's attribution caveat.) The real wins:
+(1) per-batch transfer volume scales with image area — at 256²
+(celebaHQ preset, batch 128 = 100 MB float32 per iteration) the host path
+is bandwidth-bound on the device link and the device feed measured
+**7.76× end-to-end** (0.835 vs 0.108 iters/s,
+artifacts/ab_data_placement_256.json): the difference between a
+transfer-bound and a compute-bound training loop at the reference's
+CelebA-HQ scale; (2) the feed needs zero host CPU, insulating throughput
+from host contention on shared boxes (measured small at CIFAR scale —
++1.0% under 2 CPU hogs — because the native engine absorbs it, but the
+device path cannot regress no matter what the host runs).
 
 Semantics match `Loader(shuffle=True, drop_last=True)` exactly at the
 invariant level: every epoch is a fresh uniform permutation, each image is
@@ -45,11 +57,13 @@ import numpy as np
 
 from ..parallel.mesh import Mesh, batch_sharding, replicated
 
-# Stores larger than this stay on the host path. Conservative: leaves the
-# bulk of a 16 GB chip for model/optimizer state and Langevin chains even
-# at CelebA-HQ-256 scale (30k images ≈ 5.9 GB uint8 still qualifies only
-# when the budget is raised explicitly).
-DEFAULT_DEVICE_BUDGET_BYTES = 4 << 30
+# Stores larger than this stay on the host path. Sized so CelebA-HQ-256
+# (30k images ≈ 5.9 GB uint8 — the reference's largest gen_recon store,
+# and the regime where the device feed measured 7.8×) qualifies under
+# `auto` while still leaving half of a 16 GB chip for model/optimizer
+# state and Langevin chains; override per-run with
+# TrainConfig.data_device_budget_gb.
+DEFAULT_DEVICE_BUDGET_BYTES = 8 << 30
 
 
 def fits_device(images, budget_bytes: int = DEFAULT_DEVICE_BUDGET_BYTES) -> bool:

@@ -217,9 +217,15 @@ def make_batch_source(train_images, tc, mesh, seed, augment_flip=True):
     placement = getattr(tc, "data_placement", "auto")
     if placement not in ("auto", "device", "host"):
         raise ValueError(f"data_placement must be auto|device|host, got {placement!r}")
-    from ..data.device_data import fits_device
+    from ..data.device_data import DEFAULT_DEVICE_BUDGET_BYTES, fits_device
 
-    eligible = jax.process_count() == 1 and fits_device(train_images)
+    budget_gb = getattr(tc, "data_device_budget_gb", None)
+    budget = (
+        int(budget_gb * (1 << 30))
+        if budget_gb is not None
+        else DEFAULT_DEVICE_BUDGET_BYTES
+    )
+    eligible = jax.process_count() == 1 and fits_device(train_images, budget)
     if placement == "device" and not eligible:
         raise ValueError(
             "data_placement='device' but the store is ineligible "

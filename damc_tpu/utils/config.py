@@ -128,6 +128,11 @@ class TrainConfig:
     # 'host' forces the host loader + per-batch device_put path; 'device'
     # requires the device path and errors when ineligible.
     data_placement: str = "auto"
+    # HBM byte budget for the device-resident store (GB). The default
+    # (data/device_data.py: 8 GB) admits CelebA-HQ-256's 5.9 GB uint8
+    # store on a 16 GB chip; shrink when the model/chain working set
+    # needs the headroom, grow on larger-HBM parts.
+    data_device_budget_gb: Optional[float] = None
     print_every: int = 100
     plot_every: int = 1000
     ckpt_every: int = 50_000

@@ -41,6 +41,16 @@ class StepTimer:
         with timer.phase("train_step"):
             state, metrics = step(state, x)
         metrics |= timer.report()
+
+    ATTRIBUTION CAVEAT: phases measure HOST-side wall time under async
+    dispatch — a phase that blocks on the device (e.g. a `device_put`
+    whose transfer queues behind the in-flight train step) absorbs the
+    PREVIOUS phase's device time. The endurance run's `time_s/data`
+    0.05-0.19 s read this way: it was the 0.136 s fused step draining, not
+    transfer cost (refuted by tools/ab_data_placement.py — device-resident
+    vs host feed differ by only ~1% end-to-end at CIFAR scale). For true
+    device-time attribution use `annotate`/`trace` (jax.profiler) or time
+    a whole block fenced with `force_sync`.
     """
 
     def __init__(self, ema: float = 0.9):

@@ -147,6 +147,28 @@ def test_make_batch_source_placement_dispatch():
         make_batch_source(np.zeros((4, 2), np.float32), _TC("device"), None, seed=0)
 
 
+def test_device_budget_knob():
+    """TrainConfig.data_device_budget_gb overrides the 8 GB default; a
+    budget below the store size demotes 'auto' to host and makes an
+    explicit 'device' loud."""
+    imgs = _store_u8(n=32)  # 6 KB store
+
+    tc = _TC("auto")
+    tc.data_device_budget_gb = imgs.nbytes / (1 << 30) / 2  # half the store
+    nb, close, placement = make_batch_source(imgs, tc, None, seed=0)
+    assert placement == "host"
+    close()
+
+    tc = _TC("device")
+    tc.data_device_budget_gb = imgs.nbytes / (1 << 30) / 2
+    with pytest.raises(ValueError):
+        make_batch_source(imgs, tc, None, seed=0)
+
+    # CelebA-HQ-256 scale (30k x 256x256x3 uint8 = 5.9 GB) must qualify
+    # under the default budget (where the device feed measured 7.8x).
+    assert DEFAULT_DEVICE_BUDGET_BYTES >= 30_000 * 256 * 256 * 3
+
+
 def test_driver_runs_on_device_placement(tmp_path):
     """Tiny gen_recon run end-to-end with the device-resident feed."""
     import dataclasses
