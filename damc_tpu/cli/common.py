@@ -160,11 +160,27 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
         help="HBM budget for the device-resident store (default 8 GB: "
         "admits CelebA-HQ-256's 5.9 GB on a 16 GB chip)",
     )
-    # intervals (reference: print/plot/ckpt/fid_iter, `train_gen_recon.py:399-404`)
-    p.add_argument("--print_every", type=int, default=None)
-    p.add_argument("--plot_every", type=int, default=None)
-    p.add_argument("--ckpt_every", type=int, default=None)
-    p.add_argument("--eval_every", type=int, default=None, help="fid/auprc eval interval")
+    # grad-clip on/off toggles, for reference-CLI compatibility
+    # (`train_gen_recon.py:395-397`): False maps to max_norm=inf, which
+    # makes optax.clip_by_global_norm an exact no-op.
+    p.add_argument("--q_is_grad_clamp", type=str2bool, default=None,
+                   help="False disables Q grad clipping (max_norm=inf)")
+    p.add_argument("--e_is_grad_clamp", type=str2bool, default=None,
+                   help="False disables E grad clipping (max_norm=inf)")
+    p.add_argument("--g_is_grad_clamp", type=str2bool, default=None,
+                   help="False disables G grad clipping (max_norm=inf)")
+    # intervals — each accepts the reference spelling too
+    # (print/plot/ckpt/fid_iter `train_gen_recon.py:402-405`, eval_iter
+    # `train_anomaly_det.py:305`)
+    p.add_argument("--print_every", "--print_iter", dest="print_every",
+                   type=int, default=None)
+    p.add_argument("--plot_every", "--plot_iter", dest="plot_every",
+                   type=int, default=None)
+    p.add_argument("--ckpt_every", "--ckpt_iter", dest="ckpt_every",
+                   type=int, default=None)
+    p.add_argument("--eval_every", "--fid_iter", "--eval_iter",
+                   dest="eval_every", type=int, default=None,
+                   help="fid/auprc eval interval")
     # misc
     p.add_argument("--label", type=int, default=None, help="anomaly held-out digit")
     p.add_argument("--use_mesh", action="store_true", help="data-parallel over all devices")
@@ -247,6 +263,18 @@ def config_from_args(args, preset_name: Optional[str] = None) -> Config:
         q_max_norm=args.q_max_norm, e_max_norm=args.e_max_norm,
         g_max_norm=args.g_max_norm,
     )
+    # Reference clamp toggles: --x_is_grad_clamp false == no clipping
+    # (overrides any max_norm; the reference ignores max_norm when the
+    # toggle is off, `train_gen_recon.py:218,229,239`).
+    over("optim", **{
+        norm_field: float("inf")
+        for norm_field, toggle in (
+            ("q_max_norm", args.q_is_grad_clamp),
+            ("e_max_norm", args.e_is_grad_clamp),
+            ("g_max_norm", args.g_is_grad_clamp),
+        )
+        if toggle is False
+    })
     over(
         "train",
         seed=args.seed,

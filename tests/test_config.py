@@ -125,3 +125,43 @@ def test_cli_full_reference_flag_inventory():
 
     with _pytest.raises(SystemExit):
         p.parse_args(["--diffusion_residual", "maybe"])
+
+
+def test_cli_reference_spellings_verbatim():
+    """A reference command line works verbatim: interval flags under their
+    reference names (print/plot/ckpt/fid_iter `train_gen_recon.py:402-405`,
+    eval_iter `train_anomaly_det.py:305`) and the *_is_grad_clamp toggles
+    (`:395-397`; False == clipping disabled == max_norm inf)."""
+    import argparse
+    import math
+
+    from damc_tpu.cli.common import add_common_flags, config_from_args
+
+    p = argparse.ArgumentParser()
+    add_common_flags(p)
+    args = p.parse_args(
+        [
+            "--dataset", "cifar10",
+            "--print_iter", "7", "--plot_iter", "111", "--ckpt_iter", "222",
+            "--fid_iter", "333",
+            "--q_is_grad_clamp", "False", "--e_is_grad_clamp", "true",
+            "--g_max_norm", "70", "--g_is_grad_clamp", "false",
+        ]
+    )
+    cfg = config_from_args(args)
+    assert cfg.train.print_every == 7
+    assert cfg.train.plot_every == 111
+    assert cfg.train.ckpt_every == 222
+    assert cfg.train.eval_every == 333
+    assert math.isinf(cfg.optim.q_max_norm)
+    # toggle False beats an explicit max_norm, like the reference
+    assert math.isinf(cfg.optim.g_max_norm)
+    # True keeps the preset norm
+    assert cfg.optim.e_max_norm == 100.0
+
+    # anomaly spelling
+    args2 = argparse.ArgumentParser()
+    add_common_flags(args2)
+    assert config_from_args(
+        args2.parse_args(["--eval_iter", "500"])
+    ).train.eval_every == 500
