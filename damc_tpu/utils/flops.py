@@ -220,3 +220,143 @@ def sampling_phase_flops(cfg, batch: int) -> dict:
         "prior": prior,
         "total": sweep + posterior + prior,
     }
+
+
+# --------------------------------------------------------------------------
+# StyleGAN inversion pipeline (train/stylegan_inv.py::invert_batch — the
+# flagship eval_stylegan_inv workload: 100-step Q sweep + 100-step Adam
+# refinement under pixel + VGG16-perceptual loss, `src/MCMC.py:76-117`)
+# --------------------------------------------------------------------------
+
+_SG_W_DIM = 512
+_SG_INIT_RES = 4
+_SG_FMAPS_BASE = 16 << 10
+_SG_FMAPS_MAX = 512
+_SG_AUTO_FUSED_MIN_RES = 128
+
+
+def _sg_nf(res: int) -> int:
+    return min(_SG_FMAPS_BASE // res, _SG_FMAPS_MAX)
+
+
+def _sg_epilogue_flops(c: int) -> float:
+    """Per-sample style-modulation dense (W_DIM -> 2C) of one epilogue
+    (models/stylegan.py::_style_mod); noise/bias/norm elementwise ignored."""
+    return 2.0 * _SG_W_DIM * 2 * c
+
+
+def stylegan_synthesis_fwd_flops(resolution: int = 256) -> float:
+    """One synthesis_apply forward (W+ -> image), per image, lod-0 path
+    (models/stylegan.py::synthesis_apply). Counts only the FINAL toRGB:
+    the per-resolution `image` overwrites are dead at lod=0 and XLA
+    eliminates them (the torch reference computes them all)."""
+    import math as _math
+
+    total = 0.0
+    # layer0 epilogue + layer1 3x3 conv at 4^2
+    c0 = _sg_nf(_SG_INIT_RES)
+    total += _sg_epilogue_flops(c0)
+    total += 2.0 * _SG_INIT_RES**2 * 9 * c0 * c0 + _sg_epilogue_flops(c0)
+    cin = c0
+    for res_log2 in range(3, int(_math.log2(resolution)) + 1):
+        res = 2**res_log2
+        cout = _sg_nf(res)
+        if res >= _SG_AUTO_FUSED_MIN_RES:
+            # fused conv_transpose 4x4 stride 2 'SAME': exactly 2x2 kernel
+            # taps per output pixel per dim -> 4 taps (the padded-kernel
+            # fold turns 9 nearest-duplicated taps into 4 unique ones)
+            total += 2.0 * res * res * 4 * cin * cout
+        else:
+            # nearest-upsample + 3x3 conv at the output resolution
+            total += 2.0 * res * res * 9 * cin * cout
+        total += 2.0 * res * res * 9 * cout          # blur: 3x3 depthwise
+        total += _sg_epilogue_flops(cout)
+        total += 2.0 * res * res * 9 * cout * cout   # conv block
+        total += _sg_epilogue_flops(cout)
+        cin = cout
+    total += 2.0 * resolution * resolution * cin * 3  # final toRGB 1x1
+    return total
+
+
+def stylegan_encoder_fwd_flops(resolution: int = 256) -> float:
+    """One encoder_apply forward (image -> W+), per image
+    (models/stylegan.py::encoder_apply; reference
+    `stylegan_encoder_network.py:70-120`: channels 64 doubling to 1024,
+    ResBlocks = [1x1 shortcut when widening] + two 3x3 convs after a 2x2
+    avg-pool; LastBlock = dense (C*16 -> num_layers*512))."""
+    import math as _math
+
+    # NOTE on convention: dense k*k tap counting, like the rest of this
+    # module. XLA's cost_analysis excludes zero-padded edge taps ((22/24)^2
+    # = 84% of dense at an 8x8 map with 3x3 pad-1), but the MXU computes
+    # the padded taps regardless — dense counting is the honest MFU
+    # numerator. At the flagship 256^2 the difference is <1%; the res-32
+    # unit tests carry the visible ~12% gap inside their tolerance.
+    num_blocks = int(_math.log2(resolution))
+    total = 2.0 * resolution * resolution * 9 * 3 * 64  # FirstBlock 3x3
+    size, cin = resolution, 64
+    for _ in range(1, num_blocks - 1):
+        size //= 2  # avg-pool
+        cout = min(cin * 2, 1024)
+        if cout != cin:
+            total += 2.0 * size * size * cin * cout      # 1x1 shortcut
+        total += 2.0 * size * size * 9 * cin * cin       # conv1 (in -> in)
+        total += 2.0 * size * size * 9 * cin * cout      # conv2 (in -> out)
+        cin = cout
+    n_layers = int(_math.log2(resolution // _SG_INIT_RES * 2)) * 2
+    total += 2.0 * (cin * _SG_INIT_RES**2) * (n_layers * _SG_W_DIM)  # LastBlock
+    return total
+
+
+_VGG16_TRUNCATED = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512)
+
+
+def vgg16_fwd_flops(image_size: int = 256) -> float:
+    """One vgg16_features forward (through block4_conv3), per image
+    (models/stylegan.py::vgg16_features)."""
+    total, size, cin = 0.0, image_size, 3
+    for spec in _VGG16_TRUNCATED:
+        if spec == "M":
+            size //= 2
+        else:
+            total += 2.0 * size * size * 9 * cin * spec
+            cin = spec
+    return total
+
+
+def inversion_phase_flops(
+    batch: int,
+    resolution: int = 256,
+    q_steps: int = 100,
+    adam_steps: int = 100,
+    ntemb: int = 128,
+) -> dict:
+    """Total FLOPs of one invert_batch program (train/stylegan_inv.py):
+    frozen-encoder conditioning + q_steps amortized reverse sweep
+    (nz = nxemb = L*512, widths 1024) + VGG(x) once + adam_steps of
+    grad_z[1.5*mse + 5e-5*vgg_mse] — each Adam step is fwd + input-bwd of
+    BOTH synthesis and VGG (weights frozen; input-bwd of a conv costs its
+    forward MACs)."""
+    import math as _math
+
+    nz = int(_math.log2(resolution // _SG_INIT_RES * 2)) * 2 * _SG_W_DIM
+    g_fwd = stylegan_synthesis_fwd_flops(resolution)
+    v_fwd = vgg16_fwd_flops(resolution)
+    enc_fwd = stylegan_encoder_fwd_flops(resolution)
+    den_fwd = denoiser_fwd_flops(nz, nz, ntemb, nf=4, widths=(1024, 1024))
+    setup_per_sample, setup_grid = denoiser_sweep_setup_flops(
+        nz, nz, ntemb, nf=4, n_steps=q_steps, widths=(1024, 1024)
+    )
+    sweep = batch * (enc_fwd + q_steps * den_fwd + setup_per_sample) + setup_grid
+    feat_x = batch * v_fwd  # hoisted out of the Adam scan (trace-time const)
+    adam = batch * adam_steps * 2.0 * (g_fwd + v_fwd)
+    return {
+        "synthesis_fwd_per_image": g_fwd,
+        "vgg16_fwd_per_image": v_fwd,
+        "encoder_fwd_per_image": enc_fwd,
+        "denoiser_eval_per_sample": den_fwd,
+        "sweep": sweep,
+        "feat_x": feat_x,
+        "adam": adam,
+        "total": sweep + feat_x + adam,
+    }

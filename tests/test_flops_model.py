@@ -122,3 +122,83 @@ def test_phase_total_dominated_by_posterior():
     # Scale check against the hand number in bench.py's docstring era:
     # ~2.2 GFLOP per G forward at ngf=128.
     assert 1.8e9 < f["generator_fwd_per_image"] < 2.6e9
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN inversion components (utils/flops.py round-3 additions)
+# ---------------------------------------------------------------------------
+
+
+def _torch_sg():
+    import sys
+
+    sys.path.insert(0, "/root/reference/workspace/src")
+    import torch
+
+    torch.manual_seed(0)
+    return torch
+
+
+def test_stylegan_synthesis_flops_matches_xla_res32():
+    """Unfused-branch counting (res < 128) vs XLA at res 32."""
+    from damc_tpu.models.stylegan import convert_generator_state_dict, generator_apply
+    from damc_tpu.utils.flops import stylegan_synthesis_fwd_flops
+
+    _torch_sg()
+    from stylegan.stylegan_generator_network import StyleGANGeneratorNet
+
+    net = StyleGANGeneratorNet(resolution=32, repeat_w=False, final_tanh=True)
+    params = convert_generator_state_dict(net.state_dict(), resolution=32)
+    z = jnp.zeros((B, 8 * 512))
+    got = xla_flops(lambda p, zz: generator_apply(p, zz, resolution=32), params, z)
+    want = B * stylegan_synthesis_fwd_flops(32)
+    # XLA DCE removes the dead per-res toRGBs exactly as the model assumes;
+    # remaining gap is elementwise noise/norm work.
+    assert rel_err(got, want) < 0.15, (got, want)
+
+
+def test_stylegan_encoder_flops_matches_xla_res32():
+    from damc_tpu.models.stylegan import convert_encoder_state_dict, encoder_apply
+    from damc_tpu.utils.flops import stylegan_encoder_fwd_flops
+
+    _torch_sg()
+    from stylegan.stylegan_encoder_network import StyleGANEncoderNet
+
+    net = StyleGANEncoderNet(resolution=32, use_wscale=False, use_bn=True)
+    params = convert_encoder_state_dict(net.state_dict(), resolution=32)
+    x = jnp.zeros((B, 32, 32, 3))
+    got = xla_flops(lambda p, xx: encoder_apply(p, xx, resolution=32), params, x)
+    want = B * stylegan_encoder_fwd_flops(32)
+    assert rel_err(got, want) < 0.15, (got, want)
+
+
+def test_vgg16_flops_matches_xla():
+    from damc_tpu.models.stylegan import convert_vgg16_state_dict, vgg16_features
+    from damc_tpu.utils.flops import vgg16_fwd_flops
+
+    _torch_sg()
+    from stylegan.perceptual_model import VGG16
+
+    params = convert_vgg16_state_dict(VGG16().state_dict())
+    x = jnp.zeros((B, 64, 64, 3))
+    got = xla_flops(lambda p, xx: vgg16_features(p, xx), params, x)
+    want = B * vgg16_fwd_flops(64)
+    assert rel_err(got, want) < 0.10, (got, want)
+
+
+@pytest.mark.slow
+def test_stylegan_synthesis_flops_matches_xla_res256():
+    """Fused-branch counting (conv_transpose fold at res >= 128) vs XLA at
+    the flagship resolution."""
+    from damc_tpu.models.stylegan import convert_generator_state_dict, generator_apply
+    from damc_tpu.utils.flops import stylegan_synthesis_fwd_flops
+
+    _torch_sg()
+    from stylegan.stylegan_generator_network import StyleGANGeneratorNet
+
+    net = StyleGANGeneratorNet(resolution=256, repeat_w=False, final_tanh=True)
+    params = convert_generator_state_dict(net.state_dict(), resolution=256)
+    z = jnp.zeros((2, 14 * 512))
+    got = xla_flops(lambda p, zz: generator_apply(p, zz, resolution=256), params, z)
+    want = 2 * stylegan_synthesis_fwd_flops(256)
+    assert rel_err(got, want) < 0.15, (got, want)
