@@ -45,6 +45,9 @@ def main(argv=None):
         help="StyleGAN resolution (published models are 256; smaller values "
         "serve scaled-down checkpoints and tests)",
     )
+    # 8 is the measured TPU throughput knee for the inversion program:
+    # 3.55 img/s at 29.8% MFU vs 2.04 img/s at B=4; B=16 plateaus
+    # (tools/mfu_inversion.py, artifacts/mfu_inversion.json).
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--g_l_steps", type=int, default=100)
     p.add_argument("--g_l_step_size", type=float, default=0.01)
