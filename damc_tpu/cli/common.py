@@ -316,6 +316,7 @@ def make_log_dir(cfg: Config) -> str:
     shape-safe on every host)."""
     import dataclasses as dc
     import json
+    import math
 
     import jax
 
@@ -376,7 +377,20 @@ def make_log_dir(cfg: Config) -> str:
     log_dir = osp.join(base, stamp)
     os.makedirs(log_dir, exist_ok=True)
     if jax.process_index() == 0:
-        serialized = json.dumps(dc.asdict(cfg), indent=2, default=str)
+        def json_safe(obj):
+            # json.dumps emits bare Infinity/NaN tokens (invalid strict
+            # JSON) for non-finite floats — reachable via the
+            # --*_is_grad_clamp false -> max_norm=inf mapping. Stringify
+            # them so config.json stays parseable by jq/JS/etc.
+            if isinstance(obj, float) and not math.isfinite(obj):
+                return repr(obj)
+            if isinstance(obj, dict):
+                return {k: json_safe(v) for k, v in obj.items()}
+            if isinstance(obj, (list, tuple)):
+                return [json_safe(v) for v in obj]
+            return obj
+
+        serialized = json.dumps(json_safe(dc.asdict(cfg)), indent=2, default=str)
         main_cfg = osp.join(log_dir, "config.json")
         if not osp.exists(main_cfg):
             with open(main_cfg, "w") as f:

@@ -228,15 +228,16 @@ def sampling_phase_flops(cfg, batch: int) -> dict:
 # refinement under pixel + VGG16-perceptual loss, `src/MCMC.py:76-117`)
 # --------------------------------------------------------------------------
 
-_SG_W_DIM = 512
-_SG_INIT_RES = 4
-_SG_FMAPS_BASE = 16 << 10
-_SG_FMAPS_MAX = 512
-_SG_AUTO_FUSED_MIN_RES = 128
-
-
-def _sg_nf(res: int) -> int:
-    return min(_SG_FMAPS_BASE // res, _SG_FMAPS_MAX)
+# Architecture constants/helpers come from the model module itself so the
+# count can never drift from what synthesis_apply actually builds.
+from ..models.stylegan import (  # noqa: E402
+    AUTO_FUSED_MIN_RES as _SG_AUTO_FUSED_MIN_RES,
+    INIT_RES as _SG_INIT_RES,
+    W_DIM as _SG_W_DIM,
+    nf as _sg_nf,
+    num_synthesis_layers as _sg_num_layers,
+)
+from ..models.stylegan import _VGG_CHANNELS as _VGG16_TRUNCATED  # noqa: E402
 
 
 def _sg_epilogue_flops(c: int) -> float:
@@ -303,12 +304,9 @@ def stylegan_encoder_fwd_flops(resolution: int = 256) -> float:
         total += 2.0 * size * size * 9 * cin * cin       # conv1 (in -> in)
         total += 2.0 * size * size * 9 * cin * cout      # conv2 (in -> out)
         cin = cout
-    n_layers = int(_math.log2(resolution // _SG_INIT_RES * 2)) * 2
+    n_layers = _sg_num_layers(resolution)
     total += 2.0 * (cin * _SG_INIT_RES**2) * (n_layers * _SG_W_DIM)  # LastBlock
     return total
-
-
-_VGG16_TRUNCATED = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512)
 
 
 def vgg16_fwd_flops(image_size: int = 256) -> float:
@@ -337,9 +335,7 @@ def inversion_phase_flops(
     grad_z[1.5*mse + 5e-5*vgg_mse] — each Adam step is fwd + input-bwd of
     BOTH synthesis and VGG (weights frozen; input-bwd of a conv costs its
     forward MACs)."""
-    import math as _math
-
-    nz = int(_math.log2(resolution // _SG_INIT_RES * 2)) * 2 * _SG_W_DIM
+    nz = _sg_num_layers(resolution) * _SG_W_DIM
     g_fwd = stylegan_synthesis_fwd_flops(resolution)
     v_fwd = vgg16_fwd_flops(resolution)
     enc_fwd = stylegan_encoder_fwd_flops(resolution)

@@ -165,3 +165,28 @@ def test_cli_reference_spellings_verbatim():
     assert config_from_args(
         args2.parse_args(["--eval_iter", "500"])
     ).train.eval_every == 500
+
+
+def test_config_json_is_strict_json_with_inf_max_norm(tmp_path):
+    """--x_is_grad_clamp false maps to max_norm=inf; the run's config.json
+    provenance must remain STRICT JSON (no bare Infinity token) so external
+    tooling (jq/JS) can parse it."""
+    import argparse
+    import json
+    import os
+
+    from damc_tpu.cli.common import add_common_flags, config_from_args, make_log_dir
+
+    p = argparse.ArgumentParser()
+    add_common_flags(p)
+    cfg = config_from_args(
+        p.parse_args(["--g_is_grad_clamp", "false", "--log_path", str(tmp_path)])
+    )
+    log_dir = make_log_dir(cfg)
+    text = open(os.path.join(log_dir, "config.json")).read()
+
+    def boom(const):
+        raise AssertionError(f"non-strict JSON constant in config.json: {const}")
+
+    parsed = json.loads(text, parse_constant=boom)
+    assert parsed["optim"]["g_max_norm"] == "inf"

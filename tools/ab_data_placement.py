@@ -141,6 +141,8 @@ def main():
     }
     print(json.dumps(result))
     if args.out:
+        if os.path.dirname(args.out):
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(result, f, indent=2)
         print(f"-> {args.out}")

@@ -31,9 +31,7 @@ sys.path.insert(0, "/root/reference/workspace/src")
 
 import jax
 
-
-def force_sync(x):
-    np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+from damc_tpu.utils.profiling import force_sync
 
 
 def build_params(res):
@@ -92,21 +90,24 @@ def main():
 
     qp = q_model.init(jax.random.PRNGKey(0), jnp.zeros((1, q_model.nz)))
 
-    runs, xs = {}, {}
-    for B in batches:
-        runs[B] = jax.jit(
-            lambda qpp, spp, k, xb: invert_batch(
-                k, qpp, q_model, spp, xb, steps=args.steps, lr=0.01, resolution=res
-            )
+    # one jitted wrapper; jit specializes per input shape, so each batch
+    # size compiles its own executable through the same callable
+    run = jax.jit(
+        lambda qpp, spp, k, xb: invert_batch(
+            k, qpp, q_model, spp, xb, steps=args.steps, lr=0.01, resolution=res
         )
-        xs[B] = jax.random.uniform(
+    )
+    xs = {
+        B: jax.random.uniform(
             jax.random.PRNGKey(B), (B, res, res, 3), minval=-1.0, maxval=1.0
         )
+        for B in batches
+    }
 
     # compile + warm every program first (remote compiles are minutes)
     for B in batches:
         t0 = time.perf_counter()
-        out = runs[B](qp, sp, jax.random.PRNGKey(1), xs[B])
+        out = run(qp, sp, jax.random.PRNGKey(1), xs[B])
         force_sync(out[0])
         print(f"B={B}: first call {time.perf_counter()-t0:.1f}s", flush=True)
 
@@ -115,7 +116,7 @@ def main():
         for B in batches:
             t0 = time.perf_counter()
             for i in range(args.iters):
-                out = runs[B](qp, sp, jax.random.PRNGKey(100 + r * 17 + i), xs[B])
+                out = run(qp, sp, jax.random.PRNGKey(100 + r * 17 + i), xs[B])
             force_sync(out[0])
             dt = (time.perf_counter() - t0) / args.iters
             blocks[B].append(dt)
@@ -144,6 +145,10 @@ def main():
             "mfu_vs_bf16_peak": round(flops / med / peak, 4) if peak else None,
             "blocks_s": [round(b, 4) for b in blocks[B]],
         }
+    import os
+
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "arms"}))
