@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.datasets import load_image_folder, load_lsun
@@ -49,6 +50,13 @@ def main(argv=None):
     # 3.55 img/s at 29.8% MFU vs 2.04 img/s at B=4; B=16 plateaus
     # (tools/mfu_inversion.py, artifacts/mfu_inversion.json).
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument(
+        "--compute_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="Adam-refine forward/backward dtype; bf16 is quality-gated "
+        "(tests/test_stylegan_inversion.py) and faster where the refine "
+        "loop is bandwidth-bound (artifacts/mfu_inversion.json)",
+    )
     p.add_argument("--g_l_steps", type=int, default=100)
     p.add_argument("--g_l_step_size", type=float, default=0.01)
     p.add_argument("--n_fid_samples", type=int, default=50000)
@@ -113,6 +121,7 @@ def main(argv=None):
         steps=args.g_l_steps,
         lr=args.g_l_step_size,
         resolution=res,
+        compute_dtype=None if args.compute_dtype == "float32" else jnp.bfloat16,
         feature_fn=feature_fn,
         real_mu=real_mu,
         real_sigma=real_sigma,

@@ -89,7 +89,8 @@ _BLUR_2D /= _BLUR_2D.sum()
 
 def _blur(x):
     c = x.shape[-1]
-    kernel = jnp.asarray(_BLUR_2D)[:, :, None, None]
+    # follow x's dtype so a bf16 compute path stays bf16 end-to-end
+    kernel = jnp.asarray(_BLUR_2D, x.dtype)[:, :, None, None]
     kernel = jnp.tile(kernel, (1, 1, 1, c))  # HWIO with I=1, depthwise
     return _conv(x, kernel, padding=((1, 1), (1, 1)), groups=c)
 
@@ -299,7 +300,7 @@ def vgg16_features(params: Dict, x: jax.Array) -> jax.Array:
     (keras preprocessing: [0,255], BGR, mean-subtract; `perceptual_model.py:76-84`).
     """
     x = (x + 1.0) * (255.0 / 2.0)
-    x = x[..., ::-1] - jnp.asarray(_VGG_MEAN_BGR)
+    x = x[..., ::-1] - jnp.asarray(_VGG_MEAN_BGR, x.dtype)
     i = 0
     for spec in _VGG_CHANNELS:
         if spec == "M":

@@ -45,14 +45,45 @@ def make_stylegan_amortizer(cfg: Config, resolution: int = 256) -> DAMCAmortizer
     )
 
 
-def inversion_loss_fn(gen_params: Dict, vgg_params: Dict, x: jax.Array, resolution: int = 256):
-    """Per-image loss 1.5 * mse + 5e-5 * vgg_mse (`MCMC.py:100-103`)."""
-    feat_x = jax.lax.stop_gradient(sg.vgg16_features(vgg_params, x))
+def inversion_loss_fn(
+    gen_params: Dict,
+    vgg_params: Dict,
+    x: jax.Array,
+    resolution: int = 256,
+    compute_dtype=None,
+):
+    """Per-image loss 1.5 * mse + 5e-5 * vgg_mse (`MCMC.py:100-103`).
+
+    `compute_dtype` (e.g. jnp.bfloat16) runs the synthesis + VGG forwards
+    and their input-backward in that dtype — the Adam-refine loop is
+    bandwidth-bound in its elementwise stages (blur, norms, noise adds at
+    256^2 with 64-128 channels; artifacts/mfu_inversion.json), so halving
+    activation traffic is the available lever; f32 matmuls already run at
+    the one-pass-bf16 MXU rate. z, the loss reductions, and Adam state stay
+    float32 (grads cast back automatically at the dtype boundary).
+    """
+    if compute_dtype is not None:
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            t,
+        )
+        gen_params, vgg_params = cast(gen_params), cast(vgg_params)
+        x_c = x.astype(compute_dtype)
+    else:
+        x_c = x
+    feat_x = jax.lax.stop_gradient(
+        sg.vgg16_features(vgg_params, x_c)
+    ).astype(jnp.float32)
 
     def loss(z):
-        x_hat = sg.generator_apply(gen_params, z, resolution)
+        zc = z.astype(x_c.dtype)
+        x_hat = sg.generator_apply(gen_params, zc, resolution).astype(jnp.float32)
         mse = jnp.mean((x_hat - x).reshape(z.shape[0], -1) ** 2, axis=-1)
-        feat_hat = sg.vgg16_features(vgg_params, x_hat)
+        feat_hat = sg.vgg16_features(
+            vgg_params, x_hat.astype(x_c.dtype)
+        ).astype(jnp.float32)
         f_mse = jnp.mean((feat_x - feat_hat).reshape(z.shape[0], -1) ** 2, axis=-1)
         return 1.5 * mse + 5e-5 * f_mse
 
@@ -81,13 +112,16 @@ def invert_batch(
     steps: int = 100,
     lr: float = 0.01,
     resolution: int = 256,
+    compute_dtype=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full inversion for one batch: Q(x) -> NaN rescue -> Adam refine.
 
     `stylegan_params` needs keys 'generator' (with mapping/truncation/
     synthesis), 'encoder' (the frozen inversion encoder whose embedding
     conditions Q — reference `diffusion_net_stylegan.py:327-356`), and
-    'vgg'. Returns (x_hat, z, per-step losses).
+    'vgg'. `compute_dtype` applies to the Adam-refine forwards/backwards
+    only (see inversion_loss_fn); the Q sweep, rescue, and the returned
+    x_hat stay float32. Returns (x_hat, z, per-step losses).
     """
     k_q, k_rescue = jax.random.split(key)
     gen = stylegan_params["generator"]
@@ -97,7 +131,8 @@ def invert_batch(
     z0 = nan_rescue(k_rescue, gen, z0, x, resolution)
 
     loss_fn = inversion_loss_fn(
-        {"synthesis": gen["synthesis"]}, stylegan_params["vgg"], x, resolution
+        {"synthesis": gen["synthesis"]}, stylegan_params["vgg"], x, resolution,
+        compute_dtype=compute_dtype,
     )
     z, losses = adam_latent_descent(z0, loss_fn, steps=steps, lr=lr)
     x_hat = sg.generator_apply({"synthesis": gen["synthesis"]}, z, resolution)
@@ -174,6 +209,7 @@ def evaluate_inversion(
     steps: int = 100,
     lr: float = 0.01,
     resolution: int = 256,
+    compute_dtype=None,
     feature_fn=None,
     real_mu=None,
     real_sigma=None,
@@ -187,7 +223,8 @@ def evaluate_inversion(
     # as arguments the program is ~100 KB and compiles once.
     run = jax.jit(
         lambda qp, sp, k, xb: invert_batch(
-            k, qp, q_model, sp, xb, steps, lr, resolution
+            k, qp, q_model, sp, xb, steps, lr, resolution,
+            compute_dtype=compute_dtype,
         )
     )
     total_mse, n = 0.0, 0

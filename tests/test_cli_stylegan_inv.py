@@ -64,3 +64,22 @@ def test_eval_stylegan_inv_cli_roundtrip(tmp_path, capsys):
     assert ("frechet_rand" in out) or ("FID" in out)  # fallback or real-weights label
     mse = float(out.split("recon MSE")[1].split()[0])
     assert np.isfinite(mse)
+
+    # the bf16 Adam-refine flag must plumb through to a finite result too
+    eval_stylegan_inv.main([
+        "--dataset", "ffhq",
+        "--data_path", str(img_dir),
+        "--pretrained_G_path", g_pth,
+        "--pretrained_E_path", e_pth,
+        "--pretrained_F_path", f_pth,
+        "--resolution", "32",
+        "--batch_size", "2",
+        "--g_l_steps", "2",
+        "--compute_dtype", "bfloat16",
+        "--limit", "4",
+    ])
+    out_bf16 = capsys.readouterr().out
+    mse_bf16 = float(out_bf16.split("recon MSE")[1].split()[0])
+    assert np.isfinite(mse_bf16)
+    # 2 Adam steps on identical inputs: dtypes agree to a few percent
+    assert abs(mse_bf16 - mse) / mse < 0.05, (mse, mse_bf16)

@@ -93,3 +93,40 @@ def test_nan_rescue_replaces_bad_rows(stylegan_params32):
     out = nan_rescue(jax.random.PRNGKey(0), gen, z, x, resolution=32)
     assert np.all(np.isfinite(np.asarray(out[0])))  # rescued
     np.testing.assert_array_equal(np.asarray(out[1]), 0.0)  # untouched
+
+
+def test_invert_batch_bf16_quality_parity(stylegan_params32):
+    """The bf16 compute path of the Adam refinement must track the f32 path:
+    same inputs, same step count -> final recon MSE within a few percent and
+    the loss still decreasing. (Adam state, z, and loss reductions stay f32;
+    only the synthesis/VGG forwards+input-backwards run in bf16.)"""
+    import dataclasses
+
+    from damc_tpu.train.stylegan_inv import invert_batch, make_stylegan_amortizer
+    from damc_tpu.utils import preset
+
+    cfg = preset("cifar10")
+    cfg = dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(cfg.diffusion, n_interval=3)
+    )
+    q_model = make_stylegan_amortizer(cfg, resolution=32)
+    q_params = q_model.init(jax.random.PRNGKey(0), jnp.zeros((1, q_model.nz)))
+    x = jnp.asarray(
+        np.random.RandomState(0).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    )
+
+    outs = {}
+    for dtype in (None, jnp.bfloat16):
+        x_hat, z, losses = invert_batch(
+            jax.random.PRNGKey(1), q_params, q_model, stylegan_params32, x,
+            steps=20, lr=0.05, resolution=32, compute_dtype=dtype,
+        )
+        assert np.all(np.isfinite(np.asarray(x_hat)))
+        assert float(losses[-1]) < float(losses[0])
+        outs[dtype is None] = (np.asarray(x_hat), np.asarray(losses))
+
+    mse_f32 = float(np.mean((outs[True][0] - np.asarray(x)) ** 2))
+    mse_bf16 = float(np.mean((outs[False][0] - np.asarray(x)) ** 2))
+    assert abs(mse_bf16 - mse_f32) / mse_f32 < 0.05, (mse_f32, mse_bf16)
+    # final losses agree too (z stays f32; only activation rounding differs)
+    assert abs(outs[False][1][-1] - outs[True][1][-1]) / outs[True][1][-1] < 0.05

@@ -62,6 +62,8 @@ def build_params(res):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="4,8,16")
+    ap.add_argument("--dtypes", default="f32",
+                    help="comma list of f32,bf16 — Adam-refine compute dtype arms")
     ap.add_argument("--rounds", type=int, default=4, help="alternating A/B rounds")
     ap.add_argument("--iters", type=int, default=2, help="timed calls per block")
     ap.add_argument("--steps", type=int, default=100, help="Adam steps")
@@ -79,48 +81,60 @@ def main():
     assert dev.platform != "cpu", "needs a real TPU"
     peak = peak_bf16_flops(dev.device_kind)
 
+    import jax.numpy as jnp
+
     res = args.res
     batches = [int(b) for b in args.batches.split(",")]
+    dtypes = {
+        d: (None if d == "f32" else jnp.bfloat16) for d in args.dtypes.split(",")
+    }
     print(f"building torch nets at res {res}...", flush=True)
     sp = build_params(res)
 
     cfg = preset("celebaHQ")
     q_model = make_stylegan_amortizer(cfg, resolution=res)
-    import jax.numpy as jnp
-
     qp = q_model.init(jax.random.PRNGKey(0), jnp.zeros((1, q_model.nz)))
 
-    # one jitted wrapper; jit specializes per input shape, so each batch
-    # size compiles its own executable through the same callable
-    run = jax.jit(
-        lambda qpp, spp, k, xb: invert_batch(
-            k, qpp, q_model, spp, xb, steps=args.steps, lr=0.01, resolution=res
+    # one jitted wrapper per dtype; jit further specializes per input shape,
+    # so each (dtype, batch) arm compiles its own executable
+    runs = {
+        dname: jax.jit(
+            lambda qpp, spp, k, xb, _cd=cd: invert_batch(
+                k, qpp, q_model, spp, xb, steps=args.steps, lr=0.01,
+                resolution=res, compute_dtype=_cd,
+            )
         )
-    )
+        for dname, cd in dtypes.items()
+    }
     xs = {
         B: jax.random.uniform(
             jax.random.PRNGKey(B), (B, res, res, 3), minval=-1.0, maxval=1.0
         )
         for B in batches
     }
+    arms_list = [(B, d) for B in batches for d in dtypes]
 
     # compile + warm every program first (remote compiles are minutes)
-    for B in batches:
+    final_losses = {}
+    for B, d in arms_list:
         t0 = time.perf_counter()
-        out = run(qp, sp, jax.random.PRNGKey(1), xs[B])
+        out = runs[d](qp, sp, jax.random.PRNGKey(1), xs[B])
         force_sync(out[0])
-        print(f"B={B}: first call {time.perf_counter()-t0:.1f}s", flush=True)
+        final_losses[(B, d)] = float(np.asarray(out[2])[-1])
+        print(f"B={B} {d}: first call {time.perf_counter()-t0:.1f}s "
+              f"final refine loss {final_losses[(B, d)]:.5f}", flush=True)
 
-    blocks = {B: [] for B in batches}
+    blocks = {arm: [] for arm in arms_list}
     for r in range(args.rounds):
-        for B in batches:
+        for arm in arms_list:
+            B, d = arm
             t0 = time.perf_counter()
             for i in range(args.iters):
-                out = run(qp, sp, jax.random.PRNGKey(100 + r * 17 + i), xs[B])
+                out = runs[d](qp, sp, jax.random.PRNGKey(100 + r * 17 + i), xs[B])
             force_sync(out[0])
             dt = (time.perf_counter() - t0) / args.iters
-            blocks[B].append(dt)
-            print(f"round {r} B={B}: {dt*1e3:.0f} ms/batch", flush=True)
+            blocks[arm].append(dt)
+            print(f"round {r} B={B} {d}: {dt*1e3:.0f} ms/batch", flush=True)
 
     result = {
         "device_kind": dev.device_kind,
@@ -132,18 +146,20 @@ def main():
         "peak_bf16_tflops": peak / 1e12 if peak else None,
         "arms": {},
     }
-    for B in batches:
-        med = float(np.median(blocks[B]))
+    for arm in arms_list:
+        B, d = arm
+        med = float(np.median(blocks[arm]))
         flops = inversion_phase_flops(B, resolution=res, adam_steps=args.steps,
                                       q_steps=cfg.diffusion.n_interval)["total"]
-        result["arms"][str(B)] = {
+        result["arms"][f"B{B}_{d}"] = {
+            "final_refine_loss": round(final_losses[arm], 5),
             "median_s_per_batch": round(med, 4),
             "s_per_image": round(med / B, 4),
             "images_per_s": round(B / med, 3),
             "analytic_tflop_per_batch": round(flops / 1e12, 3),
             "achieved_tflops": float(f"{flops / med / 1e12:.4g}"),
             "mfu_vs_bf16_peak": round(flops / med / peak, 4) if peak else None,
-            "blocks_s": [round(b, 4) for b in blocks[B]],
+            "blocks_s": [round(b, 4) for b in blocks[arm]],
         }
     import os
 
@@ -152,8 +168,9 @@ def main():
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "arms"}))
-    for B in batches:
-        print(B, result["arms"][str(B)])
+    for arm in arms_list:
+        B, d = arm
+        print(f"B{B}_{d}", result["arms"][f"B{B}_{d}"])
 
 
 if __name__ == "__main__":
