@@ -46,9 +46,11 @@ def main(argv=None):
         help="StyleGAN resolution (published models are 256; smaller values "
         "serve scaled-down checkpoints and tests)",
     )
-    # 8 is the measured TPU throughput knee for the inversion program:
+    # 8 is the measured TPU throughput knee for the f32 inversion program:
     # 3.55 img/s at 29.8% MFU vs 2.04 img/s at B=4; B=16 plateaus
-    # (tools/mfu_inversion.py, artifacts/mfu_inversion.json).
+    # (tools/mfu_inversion.py, artifacts/mfu_inversion.json). With
+    # --compute_dtype bfloat16 the knee moves to 16 (5.28 img/s,
+    # artifacts/mfu_inversion_bf16_scale.json).
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument(
         "--compute_dtype", type=str, default="float32",
