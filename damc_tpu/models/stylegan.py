@@ -316,6 +316,13 @@ def vgg16_features(params: Dict, x: jax.Array) -> jax.Array:
 
 # --------------------------------------------------------------------------
 # Weight conversion (torch .pth state dicts -> param trees)
+#
+# Converters return HOST numpy trees: conversion is pure host work, and
+# emitting one device array per parameter costs O(n_params) synchronous
+# tunnel round-trips on this platform (minutes when the remote endpoint is
+# contended). Callers that loop jitted calls over the tree must place it
+# once with jax.device_put (evaluate_inversion does; numpy jit arguments
+# are re-transferred on every call).
 # --------------------------------------------------------------------------
 
 def _np(t):
@@ -323,18 +330,18 @@ def _np(t):
 
 
 def _oihw_to_hwio(w):
-    return jnp.asarray(_np(w).transpose(2, 3, 1, 0))
+    return np.ascontiguousarray(_np(w).transpose(2, 3, 1, 0))
 
 
 def _epilogue_from_sd(sd, prefix):
     return {
-        "noise": jnp.asarray(_np(sd[f"{prefix}.apply_noise.noise"])[0, 0]),
-        "noise_weight": jnp.asarray(_np(sd[f"{prefix}.apply_noise.weight"])),
-        "bias": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+        "noise": (_np(sd[f"{prefix}.apply_noise.noise"])[0, 0]),
+        "noise_weight": (_np(sd[f"{prefix}.apply_noise.weight"])),
+        "bias": (_np(sd[f"{prefix}.bias"])),
         "style_mod": {
             "dense": {
-                "weight": jnp.asarray(_np(sd[f"{prefix}.style_mod.dense.fc.weight"])),
-                "bias": jnp.asarray(_np(sd[f"{prefix}.style_mod.dense.wscale.bias"])),
+                "weight": (_np(sd[f"{prefix}.style_mod.dense.fc.weight"])),
+                "bias": (_np(sd[f"{prefix}.style_mod.dense.wscale.bias"])),
             }
         },
     }
@@ -345,14 +352,14 @@ def convert_generator_state_dict(sd, resolution: int = 256) -> Dict:
     params: Dict = {"mapping": {}, "truncation": {}, "synthesis": {}}
     for i in range(MAPPING_LAYERS):
         params["mapping"][f"dense{i}"] = {
-            "weight": jnp.asarray(_np(sd[f"mapping.dense{i}.fc.weight"])),
-            "bias": jnp.asarray(_np(sd[f"mapping.dense{i}.wscale.bias"])),
+            "weight": (_np(sd[f"mapping.dense{i}.fc.weight"])),
+            "bias": (_np(sd[f"mapping.dense{i}.wscale.bias"])),
         }
-    params["truncation"]["w_avg"] = jnp.asarray(_np(sd["truncation.w_avg"]))
+    params["truncation"]["w_avg"] = (_np(sd["truncation.w_avg"]))
 
     syn = params["synthesis"]
     final_log2 = int(np.log2(resolution))
-    syn["const"] = jnp.asarray(_np(sd["synthesis.layer0.const"])[0].transpose(1, 2, 0))
+    syn["const"] = (_np(sd["synthesis.layer0.const"])[0].transpose(1, 2, 0))
     for res_log2 in range(2, final_log2 + 1):
         res = 2 ** res_log2
         block_idx = res_log2 - 2
@@ -362,7 +369,7 @@ def convert_generator_state_dict(sd, resolution: int = 256) -> Dict:
         elif res >= AUTO_FUSED_MIN_RES:
             syn[l0] = {
                 # fused UpConv stores (3, 3, in, out) directly
-                "weight": jnp.asarray(_np(sd[f"synthesis.{l0}.weight"])),
+                "weight": (_np(sd[f"synthesis.{l0}.weight"])),
                 "epilogue": _epilogue_from_sd(sd, f"synthesis.{l0}.epilogue"),
             }
         else:
@@ -376,7 +383,7 @@ def convert_generator_state_dict(sd, resolution: int = 256) -> Dict:
         }
         syn[f"output{block_idx}"] = {
             "kernel": _oihw_to_hwio(sd[f"synthesis.output{block_idx}.conv.weight"]),
-            "bias": jnp.asarray(_np(sd[f"synthesis.output{block_idx}.bias"])),
+            "bias": (_np(sd[f"synthesis.output{block_idx}.bias"])),
         }
     return params
 
@@ -386,10 +393,10 @@ def convert_encoder_state_dict(sd, resolution: int = 256) -> Dict:
 
     def bn(prefix):
         return {
-            "weight": jnp.asarray(_np(sd[f"{prefix}.bn.weight"])),
-            "bias": jnp.asarray(_np(sd[f"{prefix}.bn.bias"])),
-            "running_mean": jnp.asarray(_np(sd[f"{prefix}.bn.running_mean"])),
-            "running_var": jnp.asarray(_np(sd[f"{prefix}.bn.running_var"])),
+            "weight": (_np(sd[f"{prefix}.bn.weight"])),
+            "bias": (_np(sd[f"{prefix}.bn.bias"])),
+            "running_mean": (_np(sd[f"{prefix}.bn.running_mean"])),
+            "running_var": (_np(sd[f"{prefix}.bn.running_var"])),
         }
 
     params: Dict = {}
@@ -401,10 +408,10 @@ def convert_encoder_state_dict(sd, resolution: int = 256) -> Dict:
     for i in range(1, num_blocks - 1):
         p = {
             "conv1_kernel": _oihw_to_hwio(sd[f"block{i}.conv1.weight"]),
-            "conv1_bias": jnp.asarray(_np(sd[f"block{i}.wscale1.bias"])),
+            "conv1_bias": (_np(sd[f"block{i}.wscale1.bias"])),
             "bn1": bn(f"block{i}.bn1"),
             "conv2_kernel": _oihw_to_hwio(sd[f"block{i}.conv2.weight"]),
-            "conv2_bias": jnp.asarray(_np(sd[f"block{i}.wscale2.bias"])),
+            "conv2_bias": (_np(sd[f"block{i}.wscale2.bias"])),
             "bn2": bn(f"block{i}.bn2"),
         }
         if f"block{i}.conv.weight" in sd:  # channel-changing shortcut
@@ -413,7 +420,7 @@ def convert_encoder_state_dict(sd, resolution: int = 256) -> Dict:
         params[f"block{i}"] = p
     last = num_blocks - 1
     params[f"block{last}"] = {
-        "weight": jnp.asarray(_np(sd[f"block{last}.fc.weight"])),
+        "weight": (_np(sd[f"block{last}.fc.weight"])),
         "bn": bn(f"block{last}.bn"),
     }
     # NOTE on wscale1/wscale2 bias: with use_wscale=False the conv scale and
@@ -432,7 +439,7 @@ def convert_vgg16_state_dict(sd) -> Dict:
         if f"layer{layer_idx}.weight" in sd:
             params[f"conv{conv_idx}"] = {
                 "kernel": _oihw_to_hwio(sd[f"layer{layer_idx}.weight"]),
-                "bias": jnp.asarray(_np(sd[f"layer{layer_idx}.bias"])),
+                "bias": (_np(sd[f"layer{layer_idx}.bias"])),
             }
             conv_idx += 1
     return params

@@ -63,8 +63,12 @@ def inversion_loss_fn(
     float32 (grads cast back automatically at the dtype boundary).
     """
     if compute_dtype is not None:
+        # jnp.asarray (not ndarray.astype): converters return host numpy, and
+        # a numpy-bf16 leaf would follow NUMPY promotion in un-jitted use
+        # (bf16 * python-float -> f32), breaking dtype uniformity; a jax
+        # array stays weakly-typed bf16
         cast = lambda t: jax.tree.map(
-            lambda a: a.astype(compute_dtype)
+            lambda a: jnp.asarray(a, compute_dtype)
             if jnp.issubdtype(a.dtype, jnp.floating)
             else a,
             t,
@@ -221,6 +225,10 @@ def evaluate_inversion(
     # embedded as literals in the lowered program (313M Q params + StyleGAN
     # weights -> multi-GB MLIR, which overflows remote-compile transports);
     # as arguments the program is ~100 KB and compiles once.
+    # One-time placement: converters return host numpy (models/stylegan.py),
+    # and numpy jit arguments would re-transfer every call in the loop below.
+    q_params = jax.device_put(q_params)
+    stylegan_params = jax.device_put(stylegan_params)
     run = jax.jit(
         lambda qp, sp, k, xb: invert_batch(
             k, qp, q_model, sp, xb, steps, lr, resolution,

@@ -56,7 +56,9 @@ def build_params(res):
         "encoder": convert_encoder_state_dict(enc.state_dict(), res),
         "vgg": convert_vgg16_state_dict(vgg.state_dict()),
     }
-    return sp
+    # converters return host numpy; place the whole tree once so the timed
+    # jit calls below don't re-transfer weights every invocation
+    return jax.device_put(sp)
 
 
 def main():

@@ -60,6 +60,7 @@ def main():
         "encoder": convert_encoder_state_dict(enc.state_dict(), res),
         "vgg": convert_vgg16_state_dict(vgg.state_dict()),
     }
+    sp = jax.device_put(sp)  # converters return host numpy; place once
     del gen, enc, vgg
 
     cfg = preset("celebaHQ")
