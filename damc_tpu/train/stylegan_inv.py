@@ -227,8 +227,11 @@ def evaluate_inversion(
     # as arguments the program is ~100 KB and compiles once.
     # One-time placement: converters return host numpy (models/stylegan.py),
     # and numpy jit arguments would re-transfer every call in the loop below.
-    q_params = jax.device_put(q_params)
-    stylegan_params = jax.device_put(stylegan_params)
+    # Packed put = one transfer per dtype, not one per leaf (utils/placement).
+    from ..utils.placement import device_put_packed
+
+    q_params = device_put_packed(q_params)
+    stylegan_params = device_put_packed(stylegan_params)
     run = jax.jit(
         lambda qp, sp, k, xb: invert_batch(
             k, qp, q_model, sp, xb, steps, lr, resolution,

@@ -57,8 +57,11 @@ def build_params(res):
         "vgg": convert_vgg16_state_dict(vgg.state_dict()),
     }
     # converters return host numpy; place the whole tree once so the timed
-    # jit calls below don't re-transfer weights every invocation
-    return jax.device_put(sp)
+    # jit calls below don't re-transfer weights every invocation (packed:
+    # one transfer per dtype, immune to tunnel round-trip degradation)
+    from damc_tpu.utils.placement import device_put_packed
+
+    return device_put_packed(sp)
 
 
 def main():

@@ -60,7 +60,9 @@ def main():
         "encoder": convert_encoder_state_dict(enc.state_dict(), res),
         "vgg": convert_vgg16_state_dict(vgg.state_dict()),
     }
-    sp = jax.device_put(sp)  # converters return host numpy; place once
+    from damc_tpu.utils.placement import device_put_packed
+
+    sp = device_put_packed(sp)  # converters return host numpy; place once
     del gen, enc, vgg
 
     cfg = preset("celebaHQ")
