@@ -357,10 +357,12 @@ def convert_torch_state_dict(state_dict) -> Dict:
         parts = name.split(".")
         for part in parts[:-1]:
             node = node.setdefault(part, {})
+        # host numpy: one packed device placement happens at load time
+        # (utils/placement), not one transfer per leaf
         node[parts[-1]] = {
-            "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
-            "scale": jnp.asarray(scale),
-            "offset": jnp.asarray(offset),
+            "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+            "scale": scale,
+            "offset": offset,
         }
     return params
 
@@ -393,6 +395,10 @@ def try_load_inception_feature_fn(
     # Params as jit ARGUMENT: captured arrays become program literals
     # (24M weights -> ~100 MB lowered program) and can overflow
     # remote-compile transports; as arguments the program is tiny.
+    # Placed once (packed) so the per-batch calls don't re-transfer.
+    from ..utils.placement import device_put_packed
+
+    params = device_put_packed(params)
     pool3 = jax.jit(inception_pool3)
 
     def feature_fn(x):

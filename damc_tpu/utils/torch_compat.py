@@ -18,13 +18,17 @@ Mappings (all verified empirically against torch):
 Optimizer states are NOT converted (torch Adam moments and optax states have
 different dtypes/trees); training resumes with fresh optimizers, which the
 reference itself effectively does for E (`train_gen_recon.py:163-170`).
+
+Converters return HOST numpy trees (conversion is host work; per-leaf
+device arrays cost O(n_params) tunnel round-trips — see utils/placement).
+Orbax saves numpy directly; callers feeding a jit loop should place once
+with `utils.placement.device_put_packed`.
 """
 
 from __future__ import annotations
 
 from typing import Dict
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -33,28 +37,26 @@ def _np(t):
 
 
 def _dense(sd, prefix):
-    p = {"kernel": jnp.asarray(_np(sd[f"{prefix}.weight"]).T)}
+    p = {"kernel": np.ascontiguousarray(_np(sd[f"{prefix}.weight"]).T)}
     if f"{prefix}.bias" in sd:
-        p["bias"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
+        p["bias"] = np.ascontiguousarray(_np(sd[f"{prefix}.bias"]))
     return p
 
 
 def _conv(sd, prefix):
-    p = {"kernel": jnp.asarray(_np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0))}
+    p = {"kernel": np.ascontiguousarray(_np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0))}
     if f"{prefix}.bias" in sd:
-        p["bias"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
+        p["bias"] = np.ascontiguousarray(_np(sd[f"{prefix}.bias"]))
     return p
 
 
 def _conv_transpose(sd, prefix):
     w = _np(sd[f"{prefix}.weight"])  # (in, out, kh, kw)
     p = {
-        "kernel": jnp.asarray(
-            np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
-        )
+        "kernel": np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
     }
     if f"{prefix}.bias" in sd:
-        p["bias"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
+        p["bias"] = np.ascontiguousarray(_np(sd[f"{prefix}.bias"]))
     return p
 
 
@@ -102,8 +104,8 @@ def convert_conv_encoder(sd: Dict, prefix: str = "net") -> Dict:
         params[f"Conv_{i}"] = _conv(sd, f"{prefix}.{idx}")
     for i, idx in enumerate(sorted(set(norm_idxs))):
         params[f"GroupNorm_{i}"] = {
-            "scale": jnp.asarray(_np(sd[f"{prefix}.{idx}.weight"])),
-            "bias": jnp.asarray(_np(sd[f"{prefix}.{idx}.bias"])),
+            "scale": np.ascontiguousarray(_np(sd[f"{prefix}.{idx}.weight"])),
+            "bias": np.ascontiguousarray(_np(sd[f"{prefix}.{idx}.bias"])),
         }
     return {"params": params}
 
@@ -112,8 +114,8 @@ def _csl(sd, prefix):
     """torch ConcatSquashLinearSkipCtx -> ConcatSquashLinear params
     (`diffusion_net.py:417-445`)."""
     return {
-        "ctx_kernel": jnp.asarray(_np(sd[f"{prefix}._layer_ctx.1.weight"]).T),
-        "ctx_bias": jnp.asarray(_np(sd[f"{prefix}._layer_ctx.1.bias"])),
+        "ctx_kernel": np.ascontiguousarray(_np(sd[f"{prefix}._layer_ctx.1.weight"]).T),
+        "ctx_bias": np.ascontiguousarray(_np(sd[f"{prefix}._layer_ctx.1.bias"])),
         "_gate": _dense(sd, f"{prefix}._hyper_gate"),
         "_hyper_bias": _dense(sd, f"{prefix}._hyper_bias"),
         "_lin": _dense(sd, f"{prefix}._layer.0"),
@@ -127,7 +129,7 @@ def convert_denoiser(sd: Dict, prefix: str = "") -> Dict[str, Dict]:
     wrapper) so it can nest inside the amortizer tree."""
     pre = prefix + "." if prefix else ""
     p = {
-        "fourier_b": jnp.asarray(_np(sd[f"{pre}B"])),
+        "fourier_b": np.ascontiguousarray(_np(sd[f"{pre}B"])),
         "time_d1": _dense(sd, f"{pre}time_mlp.1"),
         "time_d2": _dense(sd, f"{pre}time_mlp.3"),
     }
