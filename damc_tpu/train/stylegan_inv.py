@@ -63,17 +63,10 @@ def inversion_loss_fn(
     float32 (grads cast back automatically at the dtype boundary).
     """
     if compute_dtype is not None:
-        # jnp.asarray (not ndarray.astype): converters return host numpy, and
-        # a numpy-bf16 leaf would follow NUMPY promotion in un-jitted use
-        # (bf16 * python-float -> f32), breaking dtype uniformity; a jax
-        # array stays weakly-typed bf16
-        cast = lambda t: jax.tree.map(
-            lambda a: jnp.asarray(a, compute_dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating)
-            else a,
-            t,
-        )
-        gen_params, vgg_params = cast(gen_params), cast(vgg_params)
+        from ..utils.placement import cast_float_leaves
+
+        gen_params = cast_float_leaves(gen_params, compute_dtype)
+        vgg_params = cast_float_leaves(vgg_params, compute_dtype)
         x_c = x.astype(compute_dtype)
     else:
         x_c = x

@@ -2,7 +2,7 @@
 
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from .logging import MetricsLogger, save_image_grid, save_kde_plot
-from .placement import device_put_packed
+from .placement import cast_float_leaves, device_put_packed
 from .config import (
     Config,
     DiffusionConfig,
@@ -14,6 +14,7 @@ from .config import (
 )
 
 __all__ = [
+    "cast_float_leaves",
     "device_put_packed",
     "latest_step",
     "restore_checkpoint",

@@ -346,6 +346,9 @@ def inversion_phase_flops(
     sweep = batch * (enc_fwd + q_steps * den_fwd + setup_per_sample) + setup_grid
     feat_x = batch * v_fwd  # hoisted out of the Adam scan (trace-time const)
     adam = batch * adam_steps * 2.0 * (g_fwd + v_fwd)
+    # the NaN-rescue synthesis probe + the final x_hat synthesis — both run
+    # in every invert_batch call (train/stylegan_inv.py:93-103,139)
+    rescue_final = batch * 2.0 * g_fwd
     return {
         "synthesis_fwd_per_image": g_fwd,
         "vgg16_fwd_per_image": v_fwd,
@@ -354,5 +357,6 @@ def inversion_phase_flops(
         "sweep": sweep,
         "feat_x": feat_x,
         "adam": adam,
-        "total": sweep + feat_x + adam,
+        "rescue_final": rescue_final,
+        "total": sweep + feat_x + adam + rescue_final,
     }

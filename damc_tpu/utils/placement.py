@@ -24,6 +24,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def cast_float_leaves(tree: Any, dtype: Optional[Any]) -> Any:
+    """Cast floating-point leaves to `dtype`; other leaves pass through.
+
+    `dtype=None` is the identity. Outputs are jax arrays (jnp.asarray, not
+    ndarray.astype): a numpy-bf16 leaf would follow NUMPY promotion rules in
+    un-jitted use (bf16 * python-float -> f32), breaking dtype uniformity;
+    a jax array stays weakly-typed bf16. Works on concrete trees and under
+    tracing (leaves only need a `.dtype`).
+    """
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda a: jnp.asarray(a, dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
 def device_put_packed(tree: Any, device: Optional[Any] = None) -> Any:
     """Place `tree` on `device` with one transfer per distinct leaf dtype.
 
@@ -37,7 +56,11 @@ def device_put_packed(tree: Any, device: Optional[Any] = None) -> Any:
     groups: dict = {}
     for i, leaf in enumerate(leaves):
         if isinstance(leaf, jax.Array):
-            continue  # already on a device; don't round-trip through host
+            # already placed: leave alone under default placement, but honor
+            # an explicit device (device-to-device copy, no host round-trip)
+            if device is not None:
+                out[i] = jax.device_put(leaf, device)
+            continue
         a = np.asarray(leaf)
         groups.setdefault(a.dtype, []).append((i, a))
 

@@ -48,3 +48,17 @@ def test_packed_put_usable_in_jit():
     t = device_put_packed({"w": np.full((4, 4), 3.0, np.float32)})
     y = jax.jit(lambda p, x: x @ p["w"])(t, jnp.ones((2, 4)))
     np.testing.assert_allclose(np.asarray(y), 12.0)
+
+
+def test_cast_float_leaves_keeps_weak_bf16_promotion():
+    """Casting numpy trees must yield JAX arrays: a numpy-bf16 leaf follows
+    numpy promotion (bf16 * python-float -> f32), which broke conv dtype
+    uniformity in un-jitted generator_apply (regression)."""
+    from damc_tpu.utils.placement import cast_float_leaves
+
+    t = {"w": np.ones((2, 2), np.float32), "i": np.arange(3, dtype=np.int32)}
+    c = cast_float_leaves(t, jnp.bfloat16)
+    assert isinstance(c["w"], jax.Array) and c["w"].dtype == jnp.bfloat16
+    assert c["i"].dtype == np.int32  # non-float leaves untouched
+    assert (c["w"] * 2.0).dtype == jnp.bfloat16  # stays bf16 under py-float
+    assert cast_float_leaves(t, None) is t  # identity when no dtype

@@ -88,16 +88,13 @@ def main():
     )
 
     # --- arm programs -----------------------------------------------------
-    def cast_tree(t):
-        if cd is None:
-            return t
-        return jax.tree.map(
-            lambda a: a.astype(cd) if jnp.issubdtype(a.dtype, jnp.floating) else a, t
-        )
+    from damc_tpu.utils.placement import cast_float_leaves
 
-    # one program per tree cast (avoids per-leaf dispatch storms on the tunnel)
-    gen_c = jax.jit(cast_tree)({"synthesis": sp["generator"]["synthesis"]})
-    vgg_c = jax.jit(cast_tree)(sp["vgg"])
+    # the SAME cast the deployed loss uses (inversion_loss_fn), one program
+    # per tree (avoids per-leaf dispatch storms on the tunnel)
+    cast_tree = jax.jit(cast_float_leaves, static_argnums=1)
+    gen_c = cast_tree({"synthesis": sp["generator"]["synthesis"]}, cd)
+    vgg_c = cast_tree(sp["vgg"], cd)
     x_c = x.astype(cd) if cd is not None else x
 
     # params are jit ARGUMENTS, not closure captures (captured arrays are
@@ -149,9 +146,9 @@ def main():
     y0 = jax.random.uniform(
         jax.random.PRNGKey(8), (B, res, res, 3), minval=-1.0, maxval=1.0
     )
-    gen_c, vgg_c, x_c, feat_target = jax.device_put(
-        (gen_c, vgg_c, x_c, feat_target)
-    )
+    # gen_c/vgg_c/x_c are already device-resident jit outputs; only the
+    # numpy feat_target needs placement
+    feat_target = jax.device_put(feat_target)
 
     arms = {
         "full": lambda k: full(qp, sp, k, x)[0],
@@ -188,10 +185,12 @@ def main():
     g_fwd = stylegan_synthesis_fwd_flops(res)
     v_fwd = vgg16_fwd_flops(res)
     flops = {
+        # d["total"] includes the rescue probe + final synthesis
+        # ("rescue_final"), which every invert_batch call executes
         "full": d["total"],
-        # steps=0 arm runs encoder + Q sweep + the rescue's synthesis probe
-        # + the final synthesis (feat_x is DCE'd with an empty Adam scan)
-        "sweep": d["sweep"] + 2.0 * B * g_fwd,
+        # steps=0 arm runs encoder + Q sweep + rescue probe + final
+        # synthesis (feat_x is DCE'd with an empty Adam scan)
+        "sweep": d["sweep"] + d["rescue_final"],
         "synth": B * steps * 2.0 * g_fwd,
         "vgg": B * steps * 2.0 * v_fwd,
     }

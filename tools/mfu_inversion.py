@@ -81,18 +81,25 @@ def main():
     from damc_tpu.utils.config import preset
     from damc_tpu.utils.flops import inversion_phase_flops, peak_bf16_flops
 
+    import jax.numpy as jnp
+
+    # validate BEFORE touching the device: backend init takes ~a minute on
+    # the tunnel and a typo'd dtype must not silently run (or wait) at all
+    _DTYPES = {"f32": None, "bf16": jnp.bfloat16}
+    dtypes = {}
+    for d in args.dtypes.split(","):
+        d = d.strip()
+        if d not in _DTYPES:
+            raise SystemExit(f"--dtypes: unknown token {d!r} (use f32,bf16)")
+        dtypes[d] = _DTYPES[d]
+
     enable_compile_cache()
     dev = jax.devices()[0]
     assert dev.platform != "cpu", "needs a real TPU"
     peak = peak_bf16_flops(dev.device_kind)
 
-    import jax.numpy as jnp
-
     res = args.res
     batches = [int(b) for b in args.batches.split(",")]
-    dtypes = {
-        d: (None if d == "f32" else jnp.bfloat16) for d in args.dtypes.split(",")
-    }
     print(f"building torch nets at res {res}...", flush=True)
     sp = build_params(res)
 
@@ -125,9 +132,11 @@ def main():
         t0 = time.perf_counter()
         out = runs[d](qp, sp, jax.random.PRNGKey(1), xs[B])
         force_sync(out[0])
-        final_losses[(B, d)] = float(np.asarray(out[2])[-1])
+        # adam_latent_descent's losses are batch SUMS; record per-image so
+        # arms with different B are comparable in one artifact
+        final_losses[(B, d)] = float(np.asarray(out[2])[-1]) / B
         print(f"B={B} {d}: first call {time.perf_counter()-t0:.1f}s "
-              f"final refine loss {final_losses[(B, d)]:.5f}", flush=True)
+              f"final refine loss/img {final_losses[(B, d)]:.5f}", flush=True)
 
     blocks = {arm: [] for arm in arms_list}
     for r in range(args.rounds):
@@ -157,7 +166,7 @@ def main():
         flops = inversion_phase_flops(B, resolution=res, adam_steps=args.steps,
                                       q_steps=cfg.diffusion.n_interval)["total"]
         result["arms"][f"B{B}_{d}"] = {
-            "final_refine_loss": round(final_losses[arm], 5),
+            "final_refine_loss_per_image": round(final_losses[arm], 5),
             "median_s_per_batch": round(med, 4),
             "s_per_image": round(med / B, 4),
             "images_per_s": round(B / med, 3),
