@@ -63,6 +63,11 @@ def main(argv=None):
     p.add_argument("--g_l_step_size", type=float, default=0.01)
     p.add_argument("--n_fid_samples", type=int, default=50000)
     p.add_argument("--limit", type=int, default=None, help="cap on test images")
+    p.add_argument(
+        "--use_mesh", action="store_true",
+        help="data-parallel inversion over all devices (batch_size must "
+        "divide by the device count)",
+    )
     args = p.parse_args(argv)
 
     from .common import enable_compile_cache
@@ -113,6 +118,12 @@ def main(argv=None):
         feature_fn, (unit[i : i + 64] for i in range(0, len(unit), 64))
     )
 
+    mesh = None
+    if args.use_mesh:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+
     out = evaluate_inversion(
         jax.random.PRNGKey(args.seed),
         q_params,
@@ -124,6 +135,7 @@ def main(argv=None):
         lr=args.g_l_step_size,
         resolution=res,
         compute_dtype=None if args.compute_dtype == "float32" else jnp.bfloat16,
+        mesh=mesh,
         feature_fn=feature_fn,
         real_mu=real_mu,
         real_sigma=real_sigma,

@@ -207,13 +207,20 @@ def evaluate_inversion(
     lr: float = 0.01,
     resolution: int = 256,
     compute_dtype=None,
+    mesh=None,
     feature_fn=None,
     real_mu=None,
     real_sigma=None,
     fid_metric_name: str = "fid",
 ) -> Dict[str, float]:
     """Test-set sweep: recon MSE (sum of per-image means / N) + optional FID
-    of reconstructions (`eval_stylegan_inv.py:120-152`)."""
+    of reconstructions (`eval_stylegan_inv.py:120-152`).
+
+    With `mesh`, each batch shards over the `data` axis (params replicated,
+    same program semantics — jax PRNG results don't depend on sharding), so
+    the reference's 50k-image eval scales across chips; `batch` must divide
+    by the mesh's data-axis size (single-host meshes; the train drivers own
+    the multi-host path)."""
     # Params are ARGUMENTS, not closure captures: captured arrays are
     # embedded as literals in the lowered program (313M Q params + StyleGAN
     # weights -> multi-GB MLIR, which overflows remote-compile transports);
@@ -223,8 +230,20 @@ def evaluate_inversion(
     # Packed put = one transfer per dtype, not one per leaf (utils/placement).
     from ..utils.placement import device_put_packed
 
-    q_params = device_put_packed(q_params)
-    stylegan_params = device_put_packed(stylegan_params)
+    if mesh is not None:
+        from ..parallel import DATA_AXIS, replicated
+
+        n_data = mesh.shape[DATA_AXIS]
+        if batch % n_data != 0:
+            raise ValueError(
+                f"evaluate_inversion: batch {batch} must divide by the "
+                f"mesh data axis ({n_data})"
+            )
+        q_params = device_put_packed(q_params, replicated(mesh))
+        stylegan_params = device_put_packed(stylegan_params, replicated(mesh))
+    else:
+        q_params = device_put_packed(q_params)
+        stylegan_params = device_put_packed(stylegan_params)
     run = jax.jit(
         lambda qp, sp, k, xb: invert_batch(
             k, qp, q_model, sp, xb, steps, lr, resolution,
@@ -247,6 +266,10 @@ def evaluate_inversion(
             xb = jnp.asarray(np.concatenate([np.asarray(xb_real), pad], axis=0))
         else:
             xb = jnp.asarray(xb_real)
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            xb = shard_batch(mesh, xb)
         x_hat, z, _ = run(q_params, stylegan_params, jax.random.fold_in(key, i), xb)
         x_hat = x_hat[:n_real]
         total_mse += float(

@@ -195,3 +195,81 @@ def test_stylegan_tp_channel_sharding_matches_replicated():
     )
     out = np.asarray(run(params_tp, shard_batch(mesh, wp)))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_evaluate_inversion_mesh_matches_single_device():
+    """The full StyleGAN-inversion eval sweep (Q sweep -> rescue -> Adam
+    refine -> recon MSE) must produce the same metrics with its batches
+    DP-sharded over the 8-device mesh as on one device: same program
+    semantics, params replicated, batch over `data`."""
+    import os
+    import sys
+
+    if not os.path.isdir("/root/reference/workspace/src"):
+        pytest.skip("reference oracle not available")
+    if "/root/reference/workspace/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/workspace/src")
+    import torch
+    from stylegan.perceptual_model import VGG16
+    from stylegan.stylegan_encoder_network import StyleGANEncoderNet
+    from stylegan.stylegan_generator_network import StyleGANGeneratorNet
+
+    from damc_tpu.models.stylegan import (
+        convert_encoder_state_dict,
+        convert_generator_state_dict,
+        convert_vgg16_state_dict,
+    )
+    from damc_tpu.train.stylegan_inv import (
+        evaluate_inversion,
+        make_stylegan_amortizer,
+    )
+
+    torch.manual_seed(0)
+    sp = {
+        "generator": convert_generator_state_dict(
+            StyleGANGeneratorNet(
+                resolution=32, repeat_w=False, final_tanh=True
+            ).state_dict(),
+            32,
+        ),
+        "encoder": convert_encoder_state_dict(
+            StyleGANEncoderNet(
+                resolution=32, use_wscale=False, use_bn=True
+            ).state_dict(),
+            32,
+        ),
+        "vgg": convert_vgg16_state_dict(VGG16().state_dict()),
+    }
+
+    cfg = preset("cifar10")
+    cfg = dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(cfg.diffusion, n_interval=2)
+    )
+    q_model = make_stylegan_amortizer(cfg, resolution=32)
+    q_params = q_model.init(jax.random.PRNGKey(0), jnp.zeros((1, q_model.nz)))
+    # 10 images with batch 8: exercises the padded tail under sharding too
+    images = np.random.RandomState(3).uniform(-1, 1, (10, 32, 32, 3)).astype(
+        np.float32
+    )
+
+    # minimal sizes: the 8-virtual-device GSPMD compile of this program is
+    # minutes on the 1-core CPU (measured ~6 min); numerics, not perf, are
+    # under test here
+    kw = dict(batch=8, steps=2, lr=0.05, resolution=32)
+    ref = evaluate_inversion(
+        jax.random.PRNGKey(1), q_params, q_model, sp, images, **kw
+    )
+    out = evaluate_inversion(
+        jax.random.PRNGKey(1), q_params, q_model, sp, images,
+        mesh=make_mesh(), **kw
+    )
+    assert np.isfinite(out["recon_mse"])
+    # sharded conv/reduce orders differ; measured rel diff ~4e-6
+    np.testing.assert_allclose(out["recon_mse"], ref["recon_mse"], rtol=1e-4)
+
+    with pytest.raises(ValueError, match="divide"):
+        evaluate_inversion(
+            jax.random.PRNGKey(1), q_params, q_model, sp, images,
+            mesh=make_mesh(), batch=6, steps=2, lr=0.05, resolution=32,
+        )
