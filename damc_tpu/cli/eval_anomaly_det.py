@@ -45,9 +45,15 @@ def main(argv=None):
 
     state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
     state = restore_checkpoint(args.ckpt_dir, args.ckpt_name, state)
+    mesh = None
+    if args.use_mesh and len(jax.devices()) > 1:
+        from ..parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        state = replicate(mesh, state)
     score = evaluate_auprc(
         jax.random.PRNGKey(cfg.train.seed),
-        state, models, cfg, test_x, test_y, langevin_steps=5,
+        state, models, cfg, test_x, test_y, langevin_steps=5, mesh=mesh,
     )
     print(f"[damc] heldout digit {cfg.train.heldout_digit} AUPRC: {score:.4f}")
 

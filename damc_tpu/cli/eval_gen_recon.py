@@ -50,6 +50,13 @@ def main(argv=None):
     state = restore_checkpoint(args.ckpt_dir, args.ckpt_name, state)
     print(f"[damc] restored step {int(state.step)} from {args.ckpt_dir}/{args.ckpt_name}")
 
+    mesh = None
+    if args.use_mesh and len(jax.devices()) > 1:
+        from ..parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        state = replicate(mesh, state)
+
     unit = images_to_unit(fid_images)
     real_mu, real_sigma = compute_stats(
         feature_fn, (unit[i : i + 256] for i in range(0, len(unit), 256))
@@ -59,15 +66,16 @@ def main(argv=None):
     fid_bs = min(cfg.train.fid_batch_size, max(cfg.train.n_fid_samples, 1))
     fid_damc = evaluate_fid(
         key, state, models, cfg, feature_fn, real_mu, real_sigma,
-        cfg.train.n_fid_samples, fid_bs, prior="damc",
+        cfg.train.n_fid_samples, fid_bs, prior="damc", mesh=mesh,
     )
     fid_ebm = evaluate_fid(
         jax.random.fold_in(key, 1), state, models, cfg, feature_fn, real_mu,
-        real_sigma, cfg.train.n_fid_samples, fid_bs, prior="ebm",
+        real_sigma, cfg.train.n_fid_samples, fid_bs, prior="ebm", mesh=mesh,
     )
     mse = evaluate_mse(
         jax.random.fold_in(key, 2), state, models, cfg, mse_images,
         cfg.train.fid_batch_size,  # mset loader bs=500, eval_gen_recon.py:110
+        mesh=mesh,
     )
     label = "FID" if metric_name == "fid" else metric_name
     print(f"[damc] {label} (DAMC prior): {fid_damc:.3f}")

@@ -57,16 +57,23 @@ def evaluate_auprc(
     batch: int = 500,
     langevin_steps: int = 10,
     score_fn=None,
+    mesh=None,
 ) -> float:
     """Anomaly AUPRC sweep (`train_anomaly_det.py:206-248`): score =
     ||x_hat - x||^2 + E(z) + 0.5||z||^2 after Q init + noiseless Langevin;
-    labels are 1 = anomalous."""
+    labels are 1 = anomalous. With `mesh`, batches shard over the `data`
+    axis (state must already be replicated; scores are per-image, so the
+    batch rounds up to a shardable size)."""
     # State is an argument (closure captures embed params as program
     # literals and force a retrace per eval — see stylegan_inv.py note).
     # Pass `score_fn` (built once via make_score_fn) from training loops so
     # repeated evals reuse ONE compiled program instead of re-tracing a
     # fresh jit per call.
     score_fn = score_fn or make_score_fn(models, cfg, langevin_steps)
+    if mesh is not None:
+        from ..parallel import DATA_AXIS, shard_batch
+
+        batch = -(-batch // mesh.shape[DATA_AXIS]) * mesh.shape[DATA_AXIS]
     scores, labels = [], []
     n = len(test_images)
     for i in range(0, n, batch):
@@ -75,15 +82,9 @@ def evaluate_auprc(
         if len(x) < batch:  # pad the tail to keep a single compiled shape
             pad = batch - len(x)
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
-            s = np.asarray(
-                score_fn(state, jax.random.fold_in(key, i), jax.numpy.asarray(x))
-            )
-            s = s[: len(lbl)]
-        else:
-            s = np.asarray(
-                score_fn(state, jax.random.fold_in(key, i), jax.numpy.asarray(x))
-            )
-        scores.append(s)
+        xb = jax.numpy.asarray(x) if mesh is None else shard_batch(mesh, np.asarray(x))
+        s = np.asarray(score_fn(state, jax.random.fold_in(key, i), xb))
+        scores.append(s[: len(lbl)])
         labels.append(lbl)
     return auprc(np.concatenate(scores), np.concatenate(labels))
 

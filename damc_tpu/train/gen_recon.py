@@ -115,7 +115,8 @@ def make_recon_fn(models, cfg, langevin_steps: int = 10):
 
 
 def evaluate_mse(
-    key, state, models, cfg, eval_images: np.ndarray, batch: int, recon_fn=None
+    key, state, models, cfg, eval_images: np.ndarray, batch: int, recon_fn=None,
+    mesh=None,
 ) -> float:
     """Test-set recon MSE: Q init + 10-step noiseless Langevin over the
     ENTIRE eval set, divided by the true image count — the reference's
@@ -129,13 +130,24 @@ def evaluate_mse(
     if n == 0:
         raise ValueError("evaluate_mse: empty eval set")
     batch = min(batch, n)
+    if mesh is not None:
+        from ..parallel import DATA_AXIS, shard_batch
+
+        # recon is per-image independent — rounding UP to a data-axis-
+        # shardable size only regroups the per-batch PRNG keys (the same
+        # estimator, like evaluating at a different bs); the pad-the-tail /
+        # drop-padded-rows protocol below handles the remainder. State must
+        # already be replicated over the mesh (the CLIs do).
+        n_data = mesh.shape[DATA_AXIS]
+        batch = -(-batch // n_data) * n_data
     total = 0.0
     for i in range(0, n, batch):
         x = eval_images[i : i + batch]
         real = len(x)
         if real < batch:
             x = np.concatenate([x, np.repeat(x[-1:], batch - real, axis=0)], axis=0)
-        per_image = recon(state, jax.random.fold_in(key, i), jax.numpy.asarray(x))
+        xb = jax.numpy.asarray(x) if mesh is None else shard_batch(mesh, np.asarray(x))
+        per_image = recon(state, jax.random.fold_in(key, i), xb)
         total += float(jax.numpy.sum(per_image[:real]))
     return total / n
 

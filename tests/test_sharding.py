@@ -273,3 +273,64 @@ def test_evaluate_inversion_mesh_matches_single_device():
             jax.random.PRNGKey(1), q_params, q_model, sp, images,
             mesh=make_mesh(), batch=6, steps=2, lr=0.05, resolution=32,
         )
+
+
+def test_evaluate_mse_mesh_matches_single_device():
+    """evaluate_mse with a mesh (state replicated, batches sharded) equals
+    the single-device protocol bit-for-bit up to reduce-order numerics —
+    same batch grouping, same fold_in keys."""
+    from tests.train_step_fixture import tiny_cfg
+
+    from damc_tpu.parallel import replicate
+    from damc_tpu.train.gen_recon import evaluate_mse
+    from damc_tpu.train.state import create_state
+
+    cfg = tiny_cfg(batch_size=8)
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    images = np.random.RandomState(5).uniform(
+        -1, 1, (20, cfg.model.image_size, cfg.model.image_size, 3)
+    ).astype(np.float32)
+
+    ref = evaluate_mse(jax.random.PRNGKey(2), state, models, cfg, images, 8)
+    mesh = make_mesh()
+    out = evaluate_mse(
+        jax.random.PRNGKey(2), replicate(mesh, state), models, cfg, images, 8,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4)
+
+    # non-divisible batch rounds up to a shardable size and still runs
+    out7 = evaluate_mse(
+        jax.random.PRNGKey(2), replicate(mesh, state), models, cfg, images, 7,
+        mesh=mesh,
+    )
+    assert np.isfinite(out7)
+
+
+def test_evaluate_auprc_mesh_matches_single_device():
+    """evaluate_auprc with a mesh equals the single-device sweep (scores are
+    per-image; same keys, same grouping)."""
+    from tests.train_step_fixture import tiny_cfg
+
+    from damc_tpu.parallel import replicate
+    from damc_tpu.train.anomaly import evaluate_auprc
+    from damc_tpu.train.state import create_state
+
+    cfg = tiny_cfg(batch_size=8)
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(6)
+    images = rng.uniform(
+        -1, 1, (20, cfg.model.image_size, cfg.model.image_size, 3)
+    ).astype(np.float32)
+    labels = (rng.rand(20) > 0.5).astype(np.int32)
+
+    ref = evaluate_auprc(
+        jax.random.PRNGKey(3), state, models, cfg, images, labels,
+        batch=8, langevin_steps=2,
+    )
+    mesh = make_mesh()
+    out = evaluate_auprc(
+        jax.random.PRNGKey(3), replicate(mesh, state), models, cfg, images,
+        labels, batch=8, langevin_steps=2, mesh=mesh,
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
