@@ -24,6 +24,11 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", type=str, required=True)
     p.add_argument("--ckpt_name", type=str, default="best")
     args = p.parse_args(argv)
+    if args.multihost:
+        raise SystemExit(
+            "--multihost is a train-driver flag; eval runs single-process "
+            "(use --use_mesh to spread over all local devices)"
+        )
 
     from .common import enable_compile_cache
 
