@@ -60,6 +60,20 @@ def test_train_and_eval_cli_roundtrip(tmp_path, monkeypatch):
     # eval CLI restores the checkpoint and prints FID + MSE without error
     eval_gen_recon.main(common + ["--ckpt_dir", ckpt_dir, "--ckpt_name", "best"])
 
+    # the same eval DP-sharded over the 8 virtual devices (state replicated,
+    # batches over `data`); equality vs single-device is pinned in
+    # tests/test_sharding.py — here the full CLI wiring must execute
+    eval_gen_recon.main(
+        common + ["--ckpt_dir", ckpt_dir, "--ckpt_name", "best", "--use_mesh"]
+    )
+
+    # --multihost on an eval CLI must refuse loudly, not silently
+    # single-process (train drivers own the multi-host path)
+    with pytest.raises(SystemExit, match="train-driver"):
+        eval_gen_recon.main(
+            common + ["--ckpt_dir", ckpt_dir, "--ckpt_name", "best", "--multihost"]
+        )
+
 
 def test_step_timer_reports():
     import time
