@@ -74,6 +74,23 @@ def convert_generator(sd: Dict) -> Dict:
     return {"params": params}
 
 
+def convert_toy_generator(sd: Dict) -> Dict:
+    """torch toy `G` state_dict -> ToyGenerator params.
+
+    The reference toy likelihood net is Sequential Linears at even indices
+    (`toy_example/toy_example.py:22-47`). It is never checkpointed by the
+    reference (random per run) — this direction exists so OUR exported toy
+    checkpoints (which do carry G for reproducibility) round-trip."""
+    idxs = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith("net.") and "weight" in k}
+    )
+    return {
+        "params": {
+            f"Dense_{i}": _dense(sd, f"net.{idx}") for i, idx in enumerate(idxs)
+        }
+    }
+
+
 def convert_ebm(sd: Dict) -> Dict:
     """torch `_netE` -> LatentEBM params (`diffusion_net.py:207-223`)."""
     idxs = sorted(
@@ -211,6 +228,16 @@ def export_generator(params: Dict) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_toy_generator(params: Dict) -> Dict[str, np.ndarray]:
+    """ToyGenerator params -> torch toy-`G` state_dict arrays
+    (Sequential Linears at 0/2/4/6, `toy_example/toy_example.py:26-34`)."""
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(len(p)):
+        _export_dense(p[f"Dense_{i}"], sd, f"net.{2 * i}")
+    return sd
+
+
 def export_ebm(params: Dict) -> Dict[str, np.ndarray]:
     """LatentEBM params -> torch `_netE` state_dict arrays."""
     p = params["params"]
@@ -282,19 +309,30 @@ def export_reference_checkpoint(
 
     The output loads into the reference's training/eval scripts
     (`train_gen_recon.py:163-170` reads {G,Q,Q_dummy,E}_state_dict + iter) —
-    migration works in BOTH directions."""
+    migration works in BOTH directions.
+
+    dataset='toy' follows the toy checkpoint shape (`toy_example.py:242-247`:
+    Q/Q_dummy/iter, no E — the toy workload has no EBM) plus a G_state_dict
+    the reference never saves (its toy G is random per run); the extra key is
+    ignored by the reference's resume and makes the frozen likelihood net
+    reproducible here."""
     import torch
 
     as_torch = lambda sd: {
         k: torch.from_numpy(np.array(v, np.float32, copy=True)) for k, v in sd.items()
     }
+    if dataset == "toy":
+        g_sd = export_toy_generator(state.params_g)
+    else:
+        g_sd = export_generator(state.params_g)
     ckpt = {
         "iter": int(state.step),
-        "G_state_dict": as_torch(export_generator(state.params_g)),
-        "E_state_dict": as_torch(export_ebm(state.params_e)),
+        "G_state_dict": as_torch(g_sd),
         "Q_state_dict": as_torch(export_amortizer(state.params_q, dataset, nxemb)),
         "Q_dummy_state_dict": as_torch(export_amortizer(state.params_q_ema, dataset, nxemb)),
     }
+    if state.params_e is not None:
+        ckpt["E_state_dict"] = as_torch(export_ebm(state.params_e))
     torch.save(ckpt, path)
 
 
@@ -310,7 +348,10 @@ def convert_reference_checkpoint(path: str, dataset: str = "cifar10") -> Dict:
 
     out: Dict = {"iter": int(ckpt.get("iter", 0))}
     if "G_state_dict" in ckpt:
-        out["params_g"] = convert_generator(ckpt["G_state_dict"])
+        if dataset == "toy":
+            out["params_g"] = convert_toy_generator(ckpt["G_state_dict"])
+        else:
+            out["params_g"] = convert_generator(ckpt["G_state_dict"])
     if "E_state_dict" in ckpt:
         out["params_e"] = convert_ebm(ckpt["E_state_dict"])
     if "Q_state_dict" in ckpt:

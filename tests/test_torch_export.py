@@ -179,6 +179,68 @@ def test_full_checkpoint_export_loads_in_reference_format(tmp_path):
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-5)
 
 
+def test_toy_checkpoint_export_strict_load_and_roundtrip(tmp_path):
+    """dataset='toy' export: no E (the toy workload has no EBM), Q strict-loads
+    into the reference's `_netQ_U_toy`, G strict-loads into the toy likelihood
+    net shape (`toy_example.py:22-47`), and convert-back round-trips exactly."""
+    import dataclasses
+
+    import jax
+    import torch
+
+    from damc_tpu.train import create_state
+    from damc_tpu.utils import preset
+    from damc_tpu.utils.torch_compat import (
+        convert_reference_checkpoint,
+        export_reference_checkpoint,
+    )
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from trajectory_parity_toy import _import_toy_net, build_torch_g
+
+    cfg = preset("toy")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, nxemb=16, ntemb=8),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=3),
+    )
+    state, models, _ = create_state(jax.random.PRNGKey(5), cfg)
+    assert state.params_e is None  # toy has no EBM
+    pth = str(tmp_path / "toy.pth.tar")
+    export_reference_checkpoint(state, pth, "toy", nxemb=16)
+
+    ckpt = torch.load(pth, map_location="cpu", weights_only=True)
+    assert "E_state_dict" not in ckpt
+
+    dn = _import_toy_net()
+    Q = dn._netQ_U_toy(
+        nz=2, nxemb=16, ntemb=8, diffusion_residual=True, n_interval=3,
+        logsnr_min=-5.1, logsnr_max=9.8, var_type="large", with_noise=True,
+        cond_w=0,
+    )
+    Q.load_state_dict(ckpt["Q_state_dict"], strict=True)
+    G = build_torch_g({k: v.numpy() for k, v in ckpt["G_state_dict"].items()})
+
+    # Forward parity of the frozen likelihood net on the exported weights.
+    import jax.numpy as jnp
+
+    z = np.random.RandomState(0).randn(4, 2).astype(np.float32)
+    with torch.no_grad():
+        ref_out = G(torch.from_numpy(z)).numpy()
+    out = np.asarray(models.generator.apply(state.params_g, jnp.asarray(z)))
+    np.testing.assert_allclose(out, ref_out, rtol=1e-5, atol=1e-6)
+
+    back = convert_reference_checkpoint(pth, "toy")
+    assert back.get("params_e") is None
+    for field in ("params_g", "params_q", "params_q_ema"):
+        orig = jax.tree.leaves(getattr(state, field))
+        conv = jax.tree.leaves(back[field])
+        assert len(orig) == len(conv)
+        for a, b in zip(orig, conv):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_export_cli_roundtrip_with_convert_cli(tmp_path):
     """Orbax ckpt --export--> .pth.tar --convert--> Orbax: params identical."""
     import dataclasses
