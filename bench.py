@@ -144,9 +144,12 @@ def bench_reverse_sweep(models, state, cfg, B=128) -> float:
     return B * cfg.diffusion.n_interval / dt
 
 
-def bench_sampling_phase(models, state, cfg, B=128):
-    """Full gen_recon sampling phase (Q sweep + posterior + prior) in one
-    jit. Returns (chain_steps_per_sec, mfu_fields_dict)."""
+def make_sampling_phase(models, cfg):
+    """The flagship gen_recon sampling phase (100-step amortized Q sweep +
+    posterior Langevin + 2B-chain prior Langevin) as ONE jitted program —
+    shared by bench_sampling_phase and tools/phase_batch_scaling.py so the
+    batch-scaling artifact measures the exact program the MFU evidence
+    cites. Signature: (params_q_ema, params_g, params_e, x, key)."""
     mc = cfg.mcmc
 
     @jax.jit
@@ -172,12 +175,26 @@ def bench_sampling_phase(models, state, cfg, B=128):
         )
         return zk_pos, zk_neg
 
+    return sampling_phase
+
+
+def phase_chain_steps(cfg, B):
+    """Chain-steps per sampling-phase call: B sweep chains x n_interval +
+    B posterior x g_l_steps + 2B prior x e_l_steps."""
+    return B * (cfg.diffusion.n_interval + cfg.mcmc.g_l_steps + 2 * cfg.mcmc.e_l_steps)
+
+
+def bench_sampling_phase(models, state, cfg, B=128):
+    """Full gen_recon sampling phase (Q sweep + posterior + prior) in one
+    jit. Returns (chain_steps_per_sec, mfu_fields_dict)."""
+    sampling_phase = make_sampling_phase(models, cfg)
+
     x = jax.random.uniform(
         jax.random.PRNGKey(1), (B, 32, 32, 3), minval=-1.0, maxval=1.0
     )
     args = (state.params_q_ema, state.params_g, state.params_e, x, jax.random.PRNGKey(2))
     dt = timed(sampling_phase, args, iters=TIMED_ITERS)
-    chain_steps = B * (cfg.diffusion.n_interval + mc.g_l_steps + 2 * mc.e_l_steps)
+    chain_steps = phase_chain_steps(cfg, B)
 
     # MFU evidence (round-3): analytic FLOPs model (utils/flops.py — exact
     # MAC counts from the same layer specs the models are built from,

@@ -69,6 +69,12 @@ def main(argv=None):
     key = jax.random.PRNGKey(cfg.train.seed)
     # FID generation batch: 500 per the reference protocol (`MCMC.py:130,152`).
     fid_bs = min(cfg.train.fid_batch_size, max(cfg.train.n_fid_samples, 1))
+    if mesh is not None:
+        # Same mesh-divisible rounding as the training driver's in-loop eval
+        # (train/gen_recon.py) so both paths score a checkpoint with the
+        # SAME protocol (e.g. 8 devices: fid_bs 500 -> 496 on both).
+        n_data = mesh.shape["data"]
+        fid_bs = max(fid_bs - fid_bs % n_data, n_data)
     fid_damc = evaluate_fid(
         key, state, models, cfg, feature_fn, real_mu, real_sigma,
         cfg.train.n_fid_samples, fid_bs, prior="damc", mesh=mesh,

@@ -179,6 +179,10 @@ def test_full_checkpoint_export_loads_in_reference_format(tmp_path):
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/workspace/toy_example"),
+    reason="reference toy fork not available",
+)
 def test_toy_checkpoint_export_strict_load_and_roundtrip(tmp_path):
     """dataset='toy' export: no E (the toy workload has no EBM), Q strict-loads
     into the reference's `_netQ_U_toy`, G strict-loads into the toy likelihood

@@ -20,49 +20,20 @@ Usage (on the real TPU chip):
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from damc_tpu.cli.common import enable_compile_cache
-from damc_tpu.models.amortizer import sample_q
-from damc_tpu.ops.langevin import langevin_sample, posterior_energy, prior_langevin_auto
-from damc_tpu.train import create_state
-from damc_tpu.utils import preset
-from damc_tpu.utils.flops import peak_bf16_flops, sampling_phase_flops
-from damc_tpu.utils.profiling import force_sync
-
-
-def make_phase(models, cfg):
-    mc = cfg.mcmc
-
-    def sampling_phase(params_q_ema, params_g, params_e, x, key):
-        sg = jax.lax.stop_gradient
-        k_q, k_post, k_neg, k_prior = jax.random.split(key, 4)
-        z0 = sample_q(sg(params_q_ema), models.amortizer, k_q, x=x)
-        gen_fn = lambda z: models.generator.apply(sg(params_g), z)
-        ebm_fn = lambda z: models.ebm.apply(sg(params_e), z)
-        zk_pos, _ = langevin_sample(
-            k_post, z0,
-            posterior_energy(gen_fn, ebm_fn, x, mc.g_llhd_sigma),
-            mc.g_l_steps, mc.g_l_step_size, mc.g_l_with_noise,
-        )
-        z_neg_init = jnp.concatenate(
-            [z0, jax.random.normal(k_neg, z0.shape, z0.dtype)], axis=0
-        )
-        zk_neg, _ = prior_langevin_auto(
-            k_prior, z_neg_init, models.ebm, params_e,
-            mc.e_l_steps, mc.e_l_step_size, mc.e_l_with_noise,
-            use_pallas=cfg.train.use_pallas,
-            dots_dtype=cfg.train.pallas_dots_dtype,
-        )
-        return zk_pos, zk_neg
-
-    return jax.jit(sampling_phase)
+from bench import make_sampling_phase, phase_chain_steps  # noqa: E402
+from damc_tpu.cli.common import enable_compile_cache  # noqa: E402
+from damc_tpu.train import create_state  # noqa: E402
+from damc_tpu.utils import preset  # noqa: E402
+from damc_tpu.utils.flops import peak_bf16_flops, sampling_phase_flops  # noqa: E402
+from damc_tpu.utils.profiling import force_sync  # noqa: E402
 
 
 def main():
@@ -76,7 +47,7 @@ def main():
     enable_compile_cache()
     cfg = preset("cifar10")
     state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
-    phase = make_phase(models, cfg)
+    phase = make_sampling_phase(models, cfg)
     peak = peak_bf16_flops(jax.devices()[0].device_kind)
 
     arms = {}
@@ -101,13 +72,12 @@ def main():
             a["walls"].append(time.perf_counter() - t0)
         print(f"round {r + 1}/{args.rounds} done", flush=True)
 
-    mc, d = cfg.mcmc, cfg.diffusion
     results = []
     for B in batches:
         walls = sorted(arms[B]["walls"])
         med = walls[len(walls) // 2]
         flops = sampling_phase_flops(cfg, B)["total"]
-        chain_steps = B * (d.n_interval + mc.g_l_steps + 2 * mc.e_l_steps)
+        chain_steps = phase_chain_steps(cfg, B)
         results.append({
             "B": B,
             "wall_s_median": round(med, 6),

@@ -211,6 +211,7 @@ def run_reference_toy(cfg, pth_path, xs, masks, seed=0, torch_threads=None):
         Q.parameters(), weight_decay=o.q_weight_decay, lr=o.q_lr, betas=o.betas
     )
     rho = tc.ema_rho
+    q_lr = o.q_lr
     traj = {"g_loss": [], "q_loss": []}
 
     for it in range(len(xs)):
@@ -238,6 +239,15 @@ def run_reference_toy(cfg, pth_path, xs, masks, seed=0, torch_threads=None):
             torch.nn.utils.clip_grad_norm_(Q.parameters(), max_norm=o.q_max_norm)
             Q_opt.step()
         Q.eval()
+
+        # LR schedule: q_lr *= 0.99 every 1000 iters, floor 1e-5
+        # (`toy_example.py:223-227`) — the damc side's optax schedule
+        # (train/state.py::lr_schedule) applies the same decay, so runs
+        # past 1000 iters stay optimizer-identical.
+        if (it + 1) % 1000 == 0:
+            q_lr = max(q_lr * 0.99, 1e-5)
+            for group in Q_opt.param_groups:
+                group["lr"] = q_lr
 
         if (it + 1) % tc.ema_every == 0:
             with torch.no_grad():
