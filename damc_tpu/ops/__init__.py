@@ -34,5 +34,6 @@ __all__ = [
     "langevin_sample",
     "posterior_energy",
     "prior_energy",
+    "prior_langevin_auto",
     "reverse_diffusion_sample",
 ]

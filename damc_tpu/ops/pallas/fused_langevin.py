@@ -198,7 +198,10 @@ def fused_prior_langevin(
     if b_pad != b:
         z32 = jnp.pad(z32, ((0, b_pad - b), (0, 0)))
 
-    flops_per_step = 2 * b_pad * (nz * k1.shape[1] * 2 + k1.shape[1] * k1.shape[1])
+    # 4 MXU dots per step (fwd z@k1, h1@k2; input-bwd d2@k2^T, d1@k1^T)
+    # = 2*nz*ndf + 2*ndf*ndf MACs per row (the ndf->1 head runs on the VPU).
+    ndf = k1.shape[1]
+    flops_per_step = 2 * b_pad * (2 * nz * ndf + 2 * ndf * ndf)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # replicated
     out = pl.pallas_call(
         kernel,

@@ -136,11 +136,39 @@ def train_anomaly(
             cd_history_path(logger.path, tc.resume_path), start_iter
         )
     last_print = None
+
+    def run_eval(it: int) -> None:
+        """AUPRC eval + best-ckpt gating (`train_anomaly_det.py:206-248`);
+        called at the eval interval and once more at the terminal iteration
+        if the interval didn't land there."""
+        nonlocal auc_best
+        # Multi-host: per-sample scores run redundantly per host on
+        # a host-local state copy (identical replicated values).
+        score = evaluate_auprc(
+            jax.random.fold_in(k_eval, it),
+            host_local_state(state) if multihost else state,
+            models, cfg, test_images, test_labels,
+            score_fn=eval_score_fn,
+        )
+        if multihost:
+            # The best-ckpt branch below must be taken by EVERY
+            # host or none (orbax multi-process save barriers):
+            # per-host redundant evals could differ in the last
+            # ulp, so gate on host 0's score everywhere.
+            score = broadcast_metric(score)
+        if score > auc_best:
+            auc_best = score
+            if ckpt_dir:
+                save_checkpoint(ckpt_dir, "best", state)
+        logger.log(it, {"auprc": score, "auprc_best": auc_best}, prefix="eval")
+
     # Preemption-safe loop (see train/gen_recon.py / utils/preemption.py).
+    preempted = False
     with graceful_shutdown() as shutdown:
         for it in range(start_iter, iterations):
             if shutdown_agreed(shutdown):
                 preemption_checkpoint(shutdown, ckpt_dir, it, state)
+                preempted = True
                 break
             x = next_batch()
             state, metrics = step(state, x)
@@ -163,26 +191,27 @@ def train_anomaly(
                     extra["iters_per_s_wall"] = (it - last_print[0]) / (now - last_print[1])
                 last_print = (it, now)
                 logger.log(it, {**host_metrics, **extra})
+            # Periodic checkpoints, reference parity (`train_anomaly_det.py:
+            # 192-204` saves `{iteration}.pth.tar` every ckpt_iter) — also
+            # what `--resume_path auto` resumes from.
+            if ckpt_dir and tc.ckpt_every > 0 and it > 0 and it % tc.ckpt_every == 0:
+                save_checkpoint(ckpt_dir, str(it), state)
             if tc.eval_every > 0 and it % tc.eval_every == 0 and test_images is not None:
-                # Multi-host: per-sample scores run redundantly per host on
-                # a host-local state copy (identical replicated values).
-                score = evaluate_auprc(
-                    jax.random.fold_in(k_eval, it),
-                    host_local_state(state) if multihost else state,
-                    models, cfg, test_images, test_labels,
-                    score_fn=eval_score_fn,
-                )
-                if multihost:
-                    # The best-ckpt branch below must be taken by EVERY
-                    # host or none (orbax multi-process save barriers):
-                    # per-host redundant evals could differ in the last
-                    # ulp, so gate on host 0's score everywhere.
-                    score = broadcast_metric(score)
-                if score > auc_best:
-                    auc_best = score
-                    if ckpt_dir:
-                        save_checkpoint(ckpt_dir, "best", state)
-                logger.log(it, {"auprc": score, "auprc_best": auc_best}, prefix="eval")
+                run_eval(it)
+
+        if not preempted and iterations > start_iter:
+            # Terminal persistence + eval — see train/gen_recon.py.
+            last_it = iterations - 1
+            if ckpt_dir and tc.ckpt_every > 0 and not (
+                last_it > 0 and last_it % tc.ckpt_every == 0
+            ):
+                save_checkpoint(ckpt_dir, str(last_it), state)
+            if (
+                tc.eval_every > 0
+                and last_it % tc.eval_every != 0
+                and test_images is not None
+            ):
+                run_eval(last_it)
 
     close_data()
     return state, auc_best

@@ -74,7 +74,13 @@ def evaluate_fid(
     the feature statistics accumulate with XLA cross-device reductions —
     no host round-trip of the 50k generated images."""
     one_batch = batch_fn or make_fid_batch_fn(models, cfg, batch, prior, mesh)
-    n_batches = max(n_samples // batch, 1)
+    # Round to the NEAREST batch count: under a mesh the batch is rounded
+    # down to a data-axis-divisible size (e.g. 500 -> 496 on 8 devices), and
+    # floor division would then score 49600 samples where the single-device
+    # protocol scores 50000 — a systematic sample-count bias between
+    # hardware configs. Nearest-count keeps the total within batch/2 of
+    # n_samples on every mesh shape (101 x 496 = 50096 there).
+    n_batches = max(int(round(n_samples / batch)), 1)
 
     def batches():
         for i in range(n_batches):
@@ -246,12 +252,72 @@ def train_gen_recon(
         lambda st, k, nb: sampling.gen_samples_damc_prior(k, st, models, cfg, nb),
         static_argnums=2,
     )
+    def run_eval(it: int) -> None:
+        """FID (both priors) + recon-MSE eval of the CURRENT state, with
+        best-FID checkpoint gating — the reference's fid_iter block
+        (`train_gen_recon.py:296-348`). Called at the eval interval and once
+        more at the terminal iteration if the interval didn't land there."""
+        nonlocal fid_best, mse_best
+        eval_metrics: Dict[str, float] = {}
+        name = fid_metric_name
+        # Multi-host: sample grids need host-global image arrays;
+        # the sharded FID statistics themselves reduce across hosts.
+        grids = img_dir if not multihost else None
+        if feature_fn is not None and real_mu is not None:
+            eval_metrics[f"{name}_damc"] = evaluate_fid(
+                jax.random.fold_in(k_fid_damc, it),
+                state, models, cfg, feature_fn, real_mu, real_sigma,
+                tc.n_fid_samples, fid_bs, prior="damc", mesh=mesh,
+                batch_fn=fid_damc_fn,
+                grid_path=f"{grids}/{it}_fid_damc.png" if grids else None,
+            )
+            eval_metrics[f"{name}_ebm"] = evaluate_fid(
+                jax.random.fold_in(k_fid_ebm, it),
+                state, models, cfg, feature_fn, real_mu, real_sigma,
+                tc.n_fid_samples, fid_bs, prior="ebm", mesh=mesh,
+                batch_fn=fid_ebm_fn,
+                grid_path=f"{grids}/{it}_fid_ebm.png" if grids else None,
+            )
+        # MSE eval is independent of FID availability (the reference
+        # evaluates it whenever the interval fires,
+        # `train_gen_recon.py:324-348`). Multi-host: per-sample
+        # independent recon runs redundantly per host on a
+        # host-local state copy (same replicated values).
+        if mse_images is not None:
+            eval_metrics["recon_mse"] = evaluate_mse(
+                jax.random.fold_in(k_mse, it),
+                host_local_state(state) if multihost else state,
+                models, cfg, mse_images, tc.batch_size,
+                recon_fn=recon_fn,
+            )
+            mse_best = min(mse_best, eval_metrics["recon_mse"])
+            eval_metrics["recon_mse_best"] = mse_best
+        if multihost and f"{name}_damc" in eval_metrics:
+            # frechet_distance finishes with a host-side scipy
+            # sqrtm: per-host values can differ in the last ulp,
+            # and the best-ckpt branch below enters an all-host
+            # orbax save barrier — gate it on host 0's score
+            # everywhere (same invariant as train/anomaly.py).
+            eval_metrics[f"{name}_damc"] = broadcast_metric(
+                eval_metrics[f"{name}_damc"]
+            )
+        if eval_metrics.get(f"{name}_damc", float("inf")) < fid_best:
+            fid_best = eval_metrics[f"{name}_damc"]
+            if ckpt_dir:
+                save_checkpoint(ckpt_dir, "best", state)
+        if f"{name}_damc" in eval_metrics:
+            eval_metrics[f"{name}_best"] = fid_best
+        if eval_metrics:
+            logger.log(it, eval_metrics, prefix="eval")
+
     # Preemption-safe loop: SIGTERM/SIGINT checkpoints and returns
     # cleanly; `--resume_path auto` continues from the newest checkpoint.
+    preempted = False
     with graceful_shutdown() as shutdown:
         for it in range(start_iter, iterations):
             if shutdown_agreed(shutdown):
                 preemption_checkpoint(shutdown, ckpt_dir, it, state)
+                preempted = True
                 break
             with timer.phase("data"):
                 x = next_batch()
@@ -298,56 +364,22 @@ def train_gen_recon(
                 save_checkpoint(ckpt_dir, str(it), state)
 
             if tc.eval_every > 0 and it % tc.eval_every == 0:
-                eval_metrics: Dict[str, float] = {}
-                name = fid_metric_name
-                # Multi-host: sample grids need host-global image arrays;
-                # the sharded FID statistics themselves reduce across hosts.
-                grids = img_dir if not multihost else None
-                if feature_fn is not None and real_mu is not None:
-                    eval_metrics[f"{name}_damc"] = evaluate_fid(
-                        jax.random.fold_in(k_fid_damc, it),
-                        state, models, cfg, feature_fn, real_mu, real_sigma,
-                        tc.n_fid_samples, fid_bs, prior="damc", mesh=mesh,
-                        batch_fn=fid_damc_fn,
-                        grid_path=f"{grids}/{it}_fid_damc.png" if grids else None,
-                    )
-                    eval_metrics[f"{name}_ebm"] = evaluate_fid(
-                        jax.random.fold_in(k_fid_ebm, it),
-                        state, models, cfg, feature_fn, real_mu, real_sigma,
-                        tc.n_fid_samples, fid_bs, prior="ebm", mesh=mesh,
-                        batch_fn=fid_ebm_fn,
-                        grid_path=f"{grids}/{it}_fid_ebm.png" if grids else None,
-                    )
-                # MSE eval is independent of FID availability (the reference
-                # evaluates it whenever the interval fires,
-                # `train_gen_recon.py:324-348`). Multi-host: per-sample
-                # independent recon runs redundantly per host on a
-                # host-local state copy (same replicated values).
-                if mse_images is not None:
-                    eval_metrics["recon_mse"] = evaluate_mse(
-                        jax.random.fold_in(k_mse, it),
-                        host_local_state(state) if multihost else state,
-                        models, cfg, mse_images, tc.batch_size,
-                        recon_fn=recon_fn,
-                    )
-                    mse_best = min(mse_best, eval_metrics["recon_mse"])
-                if multihost and f"{name}_damc" in eval_metrics:
-                    # frechet_distance finishes with a host-side scipy
-                    # sqrtm: per-host values can differ in the last ulp,
-                    # and the best-ckpt branch below enters an all-host
-                    # orbax save barrier — gate it on host 0's score
-                    # everywhere (same invariant as train/anomaly.py).
-                    eval_metrics[f"{name}_damc"] = broadcast_metric(
-                        eval_metrics[f"{name}_damc"]
-                    )
-                if eval_metrics.get(f"{name}_damc", float("inf")) < fid_best:
-                    fid_best = eval_metrics[f"{name}_damc"]
-                    if ckpt_dir:
-                        save_checkpoint(ckpt_dir, "best", state)
-                if f"{name}_damc" in eval_metrics:
-                    eval_metrics[f"{name}_best"] = fid_best
-                if eval_metrics:
-                    logger.log(it, eval_metrics, prefix="eval")
+                run_eval(it)
+
+        if not preempted and iterations > start_iter:
+            # Terminal persistence + eval (the reference's inclusive loop
+            # `range(start_iter, iterations + 1)` fires its intervals at the
+            # terminal iteration; our exclusive loop keeps the
+            # `step == iterations` contract, so cover the tail here instead
+            # of silently discarding up to ckpt_every-1 iterations of
+            # trained progress — the CLI never saves the returned state).
+            last_it = iterations - 1
+            if ckpt_dir and tc.ckpt_every > 0 and not (
+                last_it > 0 and last_it % tc.ckpt_every == 0
+            ):
+                save_checkpoint(ckpt_dir, str(last_it), state)
+            if tc.eval_every > 0 and last_it % tc.eval_every != 0:
+                run_eval(last_it)
 
     close_data()
     return state

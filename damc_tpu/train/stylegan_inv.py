@@ -12,7 +12,7 @@ jitted program per batch.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -110,6 +110,7 @@ def invert_batch(
     lr: float = 0.01,
     resolution: int = 256,
     compute_dtype=None,
+    xemb: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full inversion for one batch: Q(x) -> NaN rescue -> Adam refine.
 
@@ -118,12 +119,15 @@ def invert_batch(
     conditions Q — reference `diffusion_net_stylegan.py:327-356`), and
     'vgg'. `compute_dtype` applies to the Adam-refine forwards/backwards
     only (see inversion_loss_fn); the Q sweep, rescue, and the returned
-    x_hat stay float32. Returns (x_hat, z, per-step losses).
+    x_hat stay float32. A caller that already holds the frozen encoder's
+    embedding of x passes it as `xemb` to skip the (256², most expensive
+    non-refine) encoder forward. Returns (x_hat, z, per-step losses).
     """
     k_q, k_rescue = jax.random.split(key)
     gen = stylegan_params["generator"]
 
-    xemb = sg.encoder_apply(stylegan_params["encoder"], x, resolution)
+    if xemb is None:
+        xemb = sg.encoder_apply(stylegan_params["encoder"], x, resolution)
     z0 = sample_q(q_params, q_model, k_q, xemb=jax.lax.stop_gradient(xemb))
     z0 = nan_rescue(k_rescue, gen, z0, x, resolution)
 
@@ -161,14 +165,17 @@ def make_inversion_train_step(
 
     def step(q_params, q_opt_state, x, key):
         k_inv, k_mask, k_loss = jax.random.split(key, 3)
-        x_hat, zk, losses = invert_batch(
-            k_inv, q_params, q_model, stylegan_params, x,
-            steps=refine_steps, lr=refine_lr, resolution=resolution,
-        )
-        zk = jax.lax.stop_gradient(zk)
+        # One frozen-encoder forward per step, shared between the inversion
+        # sweep's conditioning and the Q loss below.
         xemb = jax.lax.stop_gradient(
             sg.encoder_apply(stylegan_params["encoder"], x, resolution)
         )
+        x_hat, zk, losses = invert_batch(
+            k_inv, q_params, q_model, stylegan_params, x,
+            steps=refine_steps, lr=refine_lr, resolution=resolution,
+            xemb=xemb,
+        )
+        zk = jax.lax.stop_gradient(zk)
         b = x.shape[0]
         mask = (jax.random.uniform(k_mask, (b,)) >= p_mask).astype(x.dtype)[:, None]
 
@@ -251,7 +258,11 @@ def evaluate_inversion(
         )
     )
     total_mse, n = 0.0, 0
-    recons = []
+    # FID features stream into host Welford stats per batch (2048-d rows)
+    # instead of accumulating reconstructed IMAGES: at the reference's
+    # 50k x 256^2 x 3 eval protocol the image list would hold ~39 GB of
+    # host float32 before the final FID call.
+    fid_stats = None
     n_total = len(images)
     if n_total == 0:
         raise ValueError("evaluate_inversion: empty image set")
@@ -281,12 +292,16 @@ def evaluate_inversion(
         )
         n += n_real
         if feature_fn is not None:
-            recons.append(np.asarray(to_unit_range(x_hat)))
-    out = {"recon_mse": total_mse / n}
-    if feature_fn is not None and real_mu is not None:
-        from ..metrics.fid import fid_from_samples
+            from ..metrics.fid import RunningStats
 
-        out[fid_metric_name] = fid_from_samples(
-            feature_fn, recons, real_mu, real_sigma
-        )
+            feats = np.asarray(feature_fn(to_unit_range(x_hat)))
+            if fid_stats is None:
+                fid_stats = RunningStats(feats.shape[-1])
+            fid_stats.update(feats)
+    out = {"recon_mse": total_mse / n}
+    if fid_stats is not None and real_mu is not None:
+        from ..metrics.fid import frechet_distance
+
+        mu, sigma = fid_stats.finalize()
+        out[fid_metric_name] = frechet_distance(mu, sigma, real_mu, real_sigma)
     return out

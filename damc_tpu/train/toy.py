@@ -33,9 +33,10 @@ def make_observations(
     key: jax.Array, models: ModelBundle, params_g, z: jax.Array, noise_std: float = 0.25
 ) -> jax.Array:
     """x = G(z) + noise_std * eps (`toy_example.py:185`)."""
-    return models.generator.apply(params_g, z) + noise_std * jax.random.normal(
-        key, z.shape
-    )
+    gz = models.generator.apply(params_g, z)
+    # Noise takes G's OUTPUT shape (== z's only because the toy G maps
+    # 2-D latents to 2-D observations).
+    return gz + noise_std * jax.random.normal(key, gz.shape)
 
 
 def train_toy(

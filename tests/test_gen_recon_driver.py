@@ -89,6 +89,53 @@ def test_gen_recon_resume(tmp_path):
     assert int(state.step) == 4  # resumed at 2, ran 2 more
 
 
+def test_terminal_checkpoint_and_eval(tmp_path):
+    """Training past the last periodic checkpoint/eval must not be silently
+    discarded: when the intervals don't land on the final iteration, the
+    driver saves a terminal checkpoint (resumable via `auto`) and runs a
+    terminal eval — the reference's inclusive loop fires its intervals at
+    the terminal iteration (`train_gen_recon.py:179`); our exclusive loop
+    covers the tail explicitly."""
+    import json
+
+    cfg = preset("svhn")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, ngf=8, nif=8, nxemb=16, ntemb=16, nz=8),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=2),
+        mcmc=dataclasses.replace(cfg.mcmc, g_l_steps=2, e_l_steps=2),
+        train=dataclasses.replace(
+            cfg.train, batch_size=8, q_updates=1, eval_every=3,
+            print_every=10_000, plot_every=0, ckpt_every=4,
+        ),
+    )
+    imgs = np.random.RandomState(1).randint(0, 256, (24, 32, 32, 3), np.uint8)
+    mse = imgs[:8].astype(np.float32) / 255.0 * 2 - 1
+    state = train_gen_recon(
+        cfg, imgs, mse_images=mse, iterations=6, log_dir=str(tmp_path)
+    )
+    assert int(state.step) == 6
+    # Periodic ckpt at it=4 AND the terminal one at it=5 (5 % 4 != 0).
+    assert (tmp_path / "ckpt" / "4").exists()
+    assert (tmp_path / "ckpt" / "5").exists()
+    # Evals at 0 and 3 (interval) and 5 (terminal; 5 % 3 != 0).
+    records = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    eval_steps = [r["step"] for r in records if r["phase"] == "eval"]
+    assert eval_steps == [0, 3, 5]
+    assert all(
+        "recon_mse" in r and "recon_mse_best" in r
+        for r in records if r["phase"] == "eval"
+    )
+    # Terminal checkpoint resumes to a no-op (nothing left to train).
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, resume_path="auto")
+    )
+    state2 = train_gen_recon(
+        cfg2, imgs, mse_images=mse, iterations=6, log_dir=str(tmp_path)
+    )
+    assert int(state2.step) == 6
+
+
 def test_evaluate_mse_protocol_non_divisible():
     """drop_last=False parity: evaluate_mse must cover EVERY eval image and
     divide by the true count (`train_gen_recon.py:111,345` — mloader pads
