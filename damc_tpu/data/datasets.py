@@ -258,8 +258,19 @@ class LSUNClassImages:
             with self.env.begin() as txn:
                 self.keys = list(txn.cursor().iternext(keys=True, values=False))
             if cache_keys and osp.isdir(root):
-                with open(cache_path, "wb") as fh:
-                    pickle.dump(self.keys, fh)
+                # Atomic + best-effort: dataset mounts are often read-only
+                # (GCS fuse / shared NFS on TPU VMs) — a failed cache write
+                # must not abort construction when all READS work; and a
+                # temp-file + rename keeps concurrent hosts from ever
+                # observing a torn pickle.
+                try:
+                    tmp = cache_path + f".tmp.{os.getpid()}"
+                    with open(tmp, "wb") as fh:
+                        pickle.dump(self.keys, fh)
+                    os.replace(tmp, cache_path)
+                except OSError as e:
+                    print(f"[damc] lsun key cache not written ({e}); "
+                          "continuing uncached")
         if len(self.keys) != self.length:
             raise ValueError(
                 f"stale key cache for {root}: {len(self.keys)} keys vs "
@@ -291,7 +302,15 @@ class LSUNClassImages:
             from .native_jpeg import decode_crop_resize_batch, native_jpeg_available
 
             if native_jpeg_available():
-                out, _ = decode_crop_resize_batch(bufs, self.size)
+                # strict=False + per-item PIL retry: libjpeg cannot convert
+                # CMYK/YCCK (Adobe) sources to RGB, but PIL's convert('RGB')
+                # can — one Adobe-encoded image must not abort the batch.
+                # Genuinely corrupt data still raises (from the PIL path):
+                # the reference's silent substitute-sample-0 bug
+                # (`data/dataset.py:317-324`) stays fixed.
+                out, ok = decode_crop_resize_batch(bufs, self.size, strict=False)
+                for i in np.nonzero(~ok)[0]:
+                    out[i] = _decode_crop_resize(bufs[int(i)], self.size)
                 return out
         out = np.empty((len(index), self.size, self.size, 3), np.uint8)
         for i, b in enumerate(bufs):

@@ -78,8 +78,12 @@ def make_stats_accumulator(feature_fn: FeatureFn, mesh=None):
     carry is replicated — XLA inserts the cross-device (ICI) and cross-host
     (DCN) reductions, which is the multi-host FID-statistics psum of
     SURVEY.md §2.6 (the reference computes FID on one GPU only,
-    `MCMC.py:139`). Accumulation is fp32 on device; finalize on the host in
-    float64 (matching `RunningStats`).
+    `MCMC.py:139`). Accumulation is fp32 on device; callers must bound the
+    f32 sum depth by periodically folding the carry into float64 host
+    totals (`compute_stats_sharded` folds every `fold_every` batches) —
+    a 50k-sample f32 outer-product sum alone would lose ~1e-5 relative,
+    amplified by the `outer - n*mu*mu^T` cancellation in finalize, enough
+    to shift FID between --use_mesh and single-device runs.
 
     Returns (init_fn(dim) -> carry, accumulate_fn(carry, batch) -> carry).
     """
@@ -128,19 +132,45 @@ def compute_stats_sharded(
     batches: Iterable,
     mesh,
     dim: int,
+    fold_every: int = 16,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Mesh-parallel `compute_stats`: batches may be host arrays (device_put
     sharded here) or already-sharded device arrays (e.g. straight from a
-    sharded generation program — no host round-trip)."""
+    sharded generation program — no host round-trip).
+
+    Matches the host path's float64 accuracy: the f32 device carry is
+    folded into float64 host totals every `fold_every` batches (bounding
+    the f32 sum depth to ~fold_every*batch rows, ~1e-6 relative) instead of
+    accumulating all 50k samples in f32 — per-batch host pulls would move
+    16 MB of outer-product per batch for nothing."""
     from ..parallel import shard_batch
 
     init, accumulate = make_stats_accumulator(feature_fn, mesh)
+    n64, s64, outer64 = 0, np.zeros((dim,), np.float64), np.zeros((dim, dim), np.float64)
     carry = init(dim)
+    since_fold = 0
+
+    def fold(carry):
+        nonlocal n64, s64, outer64
+        n64 += int(carry[0])
+        s64 += np.asarray(carry[1], np.float64)
+        outer64 += np.asarray(carry[2], np.float64)
+        return init(dim)
+
     for batch in batches:
         if isinstance(batch, np.ndarray):
             batch = shard_batch(mesh, batch)
         carry = accumulate(carry, batch)
-    return finalize_stats(carry)
+        since_fold += 1
+        if since_fold >= fold_every:
+            carry = fold(carry)
+            since_fold = 0
+    if since_fold:
+        fold(carry)
+    assert n64 >= 2, "need at least 2 samples for covariance"
+    mu = s64 / n64
+    cov = (outer64 - n64 * np.outer(mu, mu)) / (n64 - 1)
+    return mu, cov
 
 
 def frechet_distance(

@@ -32,6 +32,14 @@ def make_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
+        if len(devices) % n_model != 0:
+            # Silently building a smaller mesh would leave chips idle with
+            # every throughput number quietly wrong for the assumed topology.
+            raise ValueError(
+                f"make_mesh: n_model={n_model} does not divide the "
+                f"{len(devices)} available devices; pass n_data explicitly "
+                "to intentionally use a subset"
+            )
         n_data = len(devices) // n_model
     mesh_devices = mesh_utils.create_device_mesh(
         (n_data, n_model), devices=devices[: n_data * n_model]

@@ -192,7 +192,11 @@ void* damc_loader_create(const uint8_t* images, int64_t n, int64_t h,
                          int64_t w, int64_t c, int batch_size, int shuffle,
                          int flip, int drop_last, uint64_t seed, int threads,
                          int prefetch_depth) {
-  if (n <= 0 || batch_size <= 0 || batch_size > n) return nullptr;
+  // h/w/c must be positive: the worker computes sample_elems / row_elems,
+  // and a zero-extent store would hit a hardware integer divide-by-zero
+  // (SIGFPE kills the whole interpreter, not just the loader).
+  if (n <= 0 || h <= 0 || w <= 0 || c <= 0) return nullptr;
+  if (batch_size <= 0 || batch_size > n) return nullptr;
   // drop_last=false is NOT implemented by this engine (fixed-size output
   // buffers; the tail would need a short batch). Reject it so callers fall
   // back to the NumPy Loader instead of silently getting drop_last

@@ -93,3 +93,38 @@ def test_lsun_batch_uses_native_path(tmp_path):
     singles = np.stack([db[0], db[3], db[5]])
     diff = np.abs(batch.astype(int) - singles.astype(int))
     assert diff.max() <= 3  # native Lanczos vs PIL fixed-point rounding
+
+
+def test_cmyk_jpeg_falls_back_to_pil_in_lsun_batch(tmp_path):
+    """libjpeg cannot convert CMYK/YCCK (Adobe) sources to RGB, so the
+    native decoder flags them not-ok; the LSUN batch path must then decode
+    those items via PIL instead of aborting the batch — one Adobe-encoded
+    image in a dataset must not kill training."""
+    from damc_tpu.data.datasets import LSUNClassImages, _decode_crop_resize
+    from fake_lmdb import FakeEnv
+
+    rgb = smooth_image(48, 40, 0)
+    buf = io.BytesIO()
+    Image.fromarray(rgb, "RGB").convert("CMYK").save(buf, "JPEG", quality=95)
+    cmyk_jpeg = buf.getvalue()
+    assert cmyk_jpeg[:2] == b"\xff\xd8"
+    # The native decoder itself refuses it...
+    _, ok = decode_crop_resize_batch([cmyk_jpeg], 32, strict=False)
+    assert not ok[0]
+
+    store = {
+        b"k0": jpeg_bytes(smooth_image(48, 40, 1)),
+        b"k1": cmyk_jpeg,
+        b"k2": jpeg_bytes(smooth_image(48, 40, 2)),
+    }
+    db = LSUNClassImages(str(tmp_path), size=32, env=FakeEnv(store))
+    batch = db[np.array([0, 1, 2])]  # ...but the batch decode survives
+    expect = _decode_crop_resize(cmyk_jpeg, 32)
+    np.testing.assert_array_equal(batch[1], expect)
+    # Genuinely corrupt data still raises (no silent substitute-sample-0).
+    db_bad = LSUNClassImages(  # cache_keys=False: tmp_path already holds
+        str(tmp_path), size=32, env=FakeEnv({b"k0": b"\xff\xd8garbage"}),
+        cache_keys=False,  # the 3-key cache of the dataset above
+    )
+    with pytest.raises(Exception):
+        db_bad[np.array([0])]

@@ -334,3 +334,17 @@ def test_evaluate_auprc_mesh_matches_single_device():
         labels, batch=8, langevin_steps=2, mesh=mesh,
     )
     np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_make_mesh_rejects_non_dividing_model_axis():
+    """Silently building a smaller mesh would leave chips idle with every
+    throughput number quietly wrong for the assumed topology."""
+    import pytest
+
+    from damc_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(n_model=3)  # 8 virtual devices
+    # Explicit n_data opts into a subset intentionally.
+    mesh = make_mesh(n_data=2, n_model=3)
+    assert mesh.shape == {"data": 2, "model": 3}
