@@ -8,7 +8,6 @@ best-checkpoint gating.
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import jax
