@@ -39,6 +39,9 @@ Secondary fields (same JSON line):
     dispatch (600 steps amortize the tunnel's per-call overhead).
   * `reverse_sweep_denoiser_evals_per_sec` — the deployed 100-step
     amortized DAMC sampler (fused Pallas kernel on TPU).
+  * `serving_{damc_sample,recon}_b1_p{50,99}_ms` — single-request (batch-1)
+    online-serving latency, each request fenced to completion (see
+    bench_serving_latency).
 
 All timings use a true device fence (`force_sync`): `block_until_ready`
 alone can return early on this platform.
@@ -76,6 +79,7 @@ ROUNDS = 20
 # can dial them down; the numbers below are the deployed TPU protocol).
 TIMED_ITERS = 20
 FID_TIMED_ITERS = 5
+LATENCY_ITERS = 50
 
 
 def timed(fn, args, iters):
@@ -265,6 +269,44 @@ def bench_fid_generation(models, state, cfg, n_samples=50_000, batch=500):
     return walls
 
 
+def bench_serving_latency(models, state, cfg):
+    """Single-request (batch-1) serving latency for the two online paths a
+    deployment exposes: draw one sample via the DAMC prior (100-step
+    amortized sweep + G decode, `MCMC.py:146-150`) and reconstruct one
+    image (Q(x) init + 10-step noiseless posterior Langevin + decode,
+    `train_gen_recon.py:324-348`). Unlike the throughput fields, every
+    request here is fenced to completion before the next is issued —
+    p50/p99 over LATENCY_ITERS requests is the request->response wall a
+    serving frontend would observe, INCLUDING per-call dispatch and the
+    device fence (~ms-scale on this tunnel), not just device time."""
+    from damc_tpu.train.sampling import gen_samples_damc_prior, reconstruct
+
+    x1 = jax.random.uniform(
+        jax.random.PRNGKey(11), (1, 32, 32, 3), minval=-1.0, maxval=1.0
+    )
+    sample_fn = jax.jit(
+        lambda k: gen_samples_damc_prior(k, state, models, cfg, 1)[0]
+    )
+    recon_fn = jax.jit(
+        lambda k, xx: reconstruct(k, state, models, cfg, xx, langevin_steps=10)[0]
+    )
+    keys = jax.random.split(jax.random.PRNGKey(12), LATENCY_ITERS)
+    out = {}
+    for name, fn, args in (
+        ("serving_damc_sample_b1", sample_fn, lambda i: (keys[i],)),
+        ("serving_recon_b1", recon_fn, lambda i: (keys[i], x1)),
+    ):
+        force_sync(fn(*args(0)))  # compile + warm outside the timed window
+        samples = []
+        for i in range(LATENCY_ITERS):
+            t0 = time.perf_counter()
+            force_sync(fn(*args(i)))
+            samples.append(time.perf_counter() - t0)
+        out[f"{name}_p50_ms"] = round(float(np.percentile(samples, 50)) * 1e3, 3)
+        out[f"{name}_p99_ms"] = round(float(np.percentile(samples, 99)) * 1e3, 3)
+    return out
+
+
 def collect(cfg, state, models, B=128, fid_samples=50_000, fid_batch=500) -> dict:
     """All bench fields as one dict (main prints it; the CPU smoke test
     calls it with a tiny config and dialed-down module constants)."""
@@ -275,6 +317,7 @@ def collect(cfg, state, models, B=128, fid_samples=50_000, fid_batch=500) -> dic
     fid_gen = bench_fid_generation(
         models, state, cfg, n_samples=fid_samples, batch=fid_batch
     )
+    serving = bench_serving_latency(models, state, cfg)
     return {
         "metric": "prior_langevin_chain_steps_per_sec",
         "value": round(kernel_deployed, 1),
@@ -296,6 +339,7 @@ def collect(cfg, state, models, B=128, fid_samples=50_000, fid_batch=500) -> dic
         ),
         **mfu,
         **fid_gen,
+        **serving,
     }
 
 

@@ -44,6 +44,7 @@ def test_bench_collect_contract(monkeypatch):
     monkeypatch.setattr(bench, "ROUNDS", 2)
     monkeypatch.setattr(bench, "TIMED_ITERS", 1)
     monkeypatch.setattr(bench, "FID_TIMED_ITERS", 1)
+    monkeypatch.setattr(bench, "LATENCY_ITERS", 2)
 
     cfg = tiny_cfg()
     from damc_tpu.train import create_state
@@ -68,6 +69,10 @@ def test_bench_collect_contract(monkeypatch):
         "fid_gen_damc_prior_samples_per_sec",
         "fid_gen_1k_ebm_prior_wall_s",
         "fid_gen_ebm_prior_samples_per_sec",
+        "serving_damc_sample_b1_p50_ms",
+        "serving_damc_sample_b1_p99_ms",
+        "serving_recon_b1_p50_ms",
+        "serving_recon_b1_p99_ms",
     ]
     for k in required:
         assert k in payload, f"bench JSON lost field {k!r}"
@@ -104,6 +109,7 @@ def test_bench_main_prints_one_json_line(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "ROUNDS", 1)
     monkeypatch.setattr(bench, "TIMED_ITERS", 1)
     monkeypatch.setattr(bench, "FID_TIMED_ITERS", 1)
+    monkeypatch.setattr(bench, "LATENCY_ITERS", 2)
     monkeypatch.setattr(bench, "preset", lambda name: tiny_cfg())
     orig_collect = bench.collect
     monkeypatch.setattr(
