@@ -4,6 +4,7 @@ Spatial shapes must match the torch stacks exactly (SURVEY.md §2.2); init
 distributions follow torch defaults (U(+-1/sqrt(fan_in))).
 """
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,6 +48,54 @@ def test_generator_celebahq_shape():
     z = jnp.zeros((1, 128))
     params = g.init(KEY, z)
     assert g.apply(params, z).shape == (1, 256, 256, 3)
+
+
+PHASE_CASES = [
+    # dataset, nz, ngf, nc — reduced widths; covers every layer shape family
+    # (VALID k8/k4/k7 first layers, k4/s2 SAME upsamplers, k3/s1 SAME tails)
+    ("cifar10", 16, 8, 3),
+    ("svhn", 12, 8, 3),
+    ("celeba64", 12, 8, 3),
+    ("celebaHQ", 16, 8, 3),
+    ("mnist", 12, 8, 1),
+]
+
+
+@pytest.mark.parametrize("dataset,nz,ngf,nc", PHASE_CASES)
+def test_phase_deconv_matches_conv_transpose(dataset, nz, ngf, nc):
+    """impl='phase' is the same math on the same param tree: forward and
+    grad-z equality with the lax.conv_transpose implementation (the phase
+    path reassociates each output sum, so ~1e-6 relative, not bitwise)."""
+    g_ct = make_generator(dataset, ngf=ngf, nc=nc)
+    g_ph = make_generator(dataset, ngf=ngf, nc=nc, impl="phase")
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, nz))
+    params = g_ct.init(KEY, z)
+    # identical parameter tree: phase params load the conv_transpose init as-is
+    chex.assert_trees_all_equal_shapes(params, g_ph.init(KEY, z))
+
+    ya, yb = g_ct.apply(params, z), g_ph.apply(params, z)
+    np.testing.assert_allclose(ya, yb, atol=5e-6, rtol=1e-5)
+
+    def loss(impl_g):
+        return lambda zz: jnp.sum((impl_g.apply(params, zz) - 0.1) ** 2)
+
+    ga, gb = jax.grad(loss(g_ct))(z), jax.grad(loss(g_ph))(z)
+    np.testing.assert_allclose(ga, gb, atol=5e-5, rtol=1e-4)
+
+
+def test_phase_deconv_param_grads_match():
+    """G-update leg: param gradients agree between the two impls."""
+    g_ct = make_generator("cifar10", ngf=8, nc=3)
+    g_ph = make_generator("cifar10", ngf=8, nc=3, impl="phase")
+    z = jax.random.normal(jax.random.PRNGKey(5), (4, 16))
+    params = g_ct.init(KEY, z)
+
+    def loss(g):
+        return lambda p: jnp.sum(g.apply(p, z) ** 2)
+
+    ga = jax.grad(loss(g_ct))(params)
+    gb = jax.grad(loss(g_ph))(params)
+    chex.assert_trees_all_close(ga, gb, atol=1e-4, rtol=1e-4)
 
 
 ENC_CASES = [
