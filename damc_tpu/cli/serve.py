@@ -81,12 +81,22 @@ def main(argv=None):
             "(smoke-test mode)"
         )
 
+    mesh = None
+    if args.use_mesh and len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+        print(
+            f"[damc] data-parallel serving over {mesh.shape['data']} devices"
+        )
+
     service = SamplerService(
         state, models, cfg,
         max_batch=args.max_batch,
         window_ms=args.window_ms,
         recon_langevin_steps=args.recon_langevin_steps,
         deterministic=not args.bucketed,
+        mesh=mesh,
     )
     print("[damc] warming up (compiling serving buckets)...")
     service.warmup()

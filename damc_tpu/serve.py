@@ -65,6 +65,7 @@ from .ops.langevin import (
     posterior_energy,
     prior_langevin_auto,
 )
+from .parallel.mesh import Mesh, batch_sharding, replicated
 from .utils.config import Config
 
 
@@ -260,11 +261,13 @@ class SamplerService:
         recon_langevin_steps: int = 10,
         request_timeout_s: float = 300.0,
         deterministic: bool = True,
+        mesh: Optional[Mesh] = None,
     ):
         self.cfg = cfg
         self.max_batch = int(max_batch)
         self.deterministic = bool(deterministic)
         self.request_timeout_s = float(request_timeout_s)
+        self.mesh = mesh
         self.image_shape = (
             cfg.model.image_size, cfg.model.image_size, cfg.model.nc
         )
@@ -274,6 +277,35 @@ class SamplerService:
         params_g = sg(state.params_g)
         params_e = sg(state.params_e) if models.ebm is not None else None
         amort, gen, ebm = models.amortizer, models.generator, models.ebm
+
+        # Data-parallel serving: params replicate over the mesh once, every
+        # dispatch shards its batch rows over the `data` axis (same
+        # placement pattern as the eval CLIs' --use_mesh). Single-host only:
+        # a serving frontend runs one process per replica group.
+        if mesh is not None:
+            if jax.process_count() > 1:
+                raise ValueError("SamplerService is single-host only")
+            n_data = mesh.shape["data"]
+            if self.max_batch % n_data:
+                raise ValueError(
+                    f"max_batch={max_batch} must be divisible by the mesh "
+                    f"data axis ({n_data}) so every bucket shards evenly"
+                )
+            rep = replicated(mesh)
+            params_q = jax.device_put(params_q, rep)
+            params_g = jax.device_put(params_g, rep)
+            if params_e is not None:
+                params_e = jax.device_put(params_e, rep)
+
+        def _jit(fn, n_in: int, n_out: int):
+            if mesh is None:
+                return jax.jit(fn)
+            bs = batch_sharding(mesh)
+            return jax.jit(
+                fn,
+                in_shardings=(bs,) * n_in,
+                out_shardings=bs if n_out == 1 else (bs,) * n_out,
+            )
 
         def damc_single(key):
             # fused=False: per-item key => batch-composition-independent
@@ -299,8 +331,8 @@ class SamplerService:
             return gen.apply(params_g, z)[0], z[0]
 
         fns: Dict[str, Callable] = {
-            "damc": jax.jit(jax.vmap(damc_single)),
-            "recon": jax.jit(jax.vmap(recon_single)),
+            "damc": _jit(jax.vmap(damc_single), 1, 1),
+            "recon": _jit(jax.vmap(recon_single), 2, 2),
         }
 
         if ebm is not None:
@@ -314,7 +346,7 @@ class SamplerService:
                 )
                 return gen.apply(params_g, z)[0]
 
-            fns["ebm"] = jax.jit(jax.vmap(ebm_single))
+            fns["ebm"] = _jit(jax.vmap(ebm_single), 1, 1)
 
         self._fns = fns
         self.stats: Dict[str, BatchStats] = {p: BatchStats() for p in fns}
@@ -332,16 +364,22 @@ class SamplerService:
     def paths(self) -> Tuple[str, ...]:
         return tuple(self._fns)
 
+    def _bucket_for(self, n: int) -> int:
+        if self.deterministic:
+            return self.max_batch
+        if self.mesh is None:
+            return bucket_size(n, self.max_batch)
+        # Bucketed + mesh: buckets are multiples of the data axis so every
+        # dispatch shards evenly (max_batch divisibility checked at init).
+        n_data = self.mesh.shape["data"]
+        return min(self.max_batch, -(-n // n_data) * n_data)
+
     def _make_runner(self, path: str):
         fn = self._fns[path]
 
         def run(items: List[Any]) -> List[Any]:
             n = len(items)
-            b = (
-                self.max_batch
-                if self.deterministic
-                else bucket_size(n, self.max_batch)
-            )
+            b = self._bucket_for(n)
             pad = b - n
             # items are tuples of per-item arrays; stack each column padded
             # with copies of the last item (results of pad rows discarded).
@@ -366,7 +404,7 @@ class SamplerService:
         if self.deterministic:
             sizes = [self.max_batch]
         else:
-            sizes = sorted({bucket_size(b, self.max_batch) for b in buckets}
+            sizes = sorted({self._bucket_for(b) for b in buckets}
                            | {self.max_batch})
         key = jax.random.PRNGKey(0)
         x = jnp.zeros(self.image_shape, jnp.float32)

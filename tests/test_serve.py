@@ -261,6 +261,39 @@ def test_bucketed_mode_shapes_close_to_deterministic(service):
         svc.close()
 
 
+def test_mesh_sharded_service(service):
+    """DP serving: batch rows shard over the 8-virtual-device data axis;
+    results agree with the unmeshed service to float tolerance (different
+    XLA partitioning => ulp-level variation), and the meshed service is
+    itself deterministic across coalescing (one fixed bucket program)."""
+    from damc_tpu.parallel import make_mesh
+
+    cfg = tiny_cfg()
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh()
+    svc = SamplerService(
+        state, models, cfg, max_batch=8, window_ms=5.0,
+        recon_langevin_steps=2, mesh=mesh,
+    )
+    try:
+        got = svc.sample(n=5, prior="damc", seed=42)
+        assert got.shape == (5,) + svc.image_shape
+        np.testing.assert_allclose(
+            got[:1], service.sample(n=1, prior="damc", seed=42), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            got, svc.sample(n=5, prior="damc", seed=42)
+        )
+        x = np.zeros((3,) + svc.image_shape, np.float32)
+        x_hat, z = svc.reconstruct(x, seed=1)
+        assert x_hat.shape == x.shape and z.shape == (3, cfg.model.nz)
+    finally:
+        svc.close()
+
+    with pytest.raises(ValueError, match="divisible"):
+        SamplerService(state, models, cfg, max_batch=6, mesh=mesh)
+
+
 def test_batchstats_ring_bounded():
     s = BatchStats()
     for i in range(5000):
