@@ -53,51 +53,100 @@ def main(argv=None):
         help="noiseless posterior-Langevin refinement steps on /reconstruct "
         "(reference train-eval protocol: 10; anomaly eval: 5)",
     )
+    p.add_argument(
+        "--artifact", type=str, default=None,
+        help="serve from an AOT artifact directory (damc_tpu.artifact) "
+        "instead of building models: pre-lowered programs with params "
+        "baked in; dataset/arch/ckpt/batching flags are ignored",
+    )
+    p.add_argument(
+        "--export_artifact", type=str, default=None,
+        help="write an AOT serving artifact for the (--ckpt_dir) model to "
+        "this directory and exit (batch size = --max_batch)",
+    )
+    p.add_argument(
+        "--artifact_platforms", type=str, default="cpu,tpu",
+        help="comma-separated jax.export platforms for --export_artifact",
+    )
     args = p.parse_args(argv)
     if args.multihost:
         raise SystemExit("serving is single-process; --multihost is invalid")
+    if args.artifact and args.export_artifact:
+        raise SystemExit("--artifact and --export_artifact are exclusive")
 
     from .common import enable_compile_cache
 
     enable_compile_cache()
-    cfg = config_from_args(args)
 
     import jax
 
     from ..serve import SamplerService, make_http_server
-    from ..train.state import create_state
-    from ..utils.checkpoint import restore_checkpoint
 
-    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
-    if args.ckpt_dir:
-        state = restore_checkpoint(args.ckpt_dir, args.ckpt_name, state)
+    if args.artifact:
+        service = SamplerService.from_artifact(
+            args.artifact, window_ms=args.window_ms
+        )
+        meta = service.artifact_meta
         print(
-            f"[damc] serving step-{int(state.step)} checkpoint from "
-            f"{args.ckpt_dir}/{args.ckpt_name}"
+            f"[damc] serving AOT artifact {args.artifact} "
+            f"(dataset={meta['dataset']}, step={meta['trained_step']}, "
+            f"batch={meta['batch_size']}, platforms={meta['platforms']})"
         )
     else:
-        print(
-            "[damc] WARNING: no --ckpt_dir — serving a RANDOM-INIT model "
-            "(smoke-test mode)"
+        cfg = config_from_args(args)
+
+        from ..train.state import create_state
+        from ..utils.checkpoint import restore_checkpoint
+
+        state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+        if args.ckpt_dir:
+            state = restore_checkpoint(args.ckpt_dir, args.ckpt_name, state)
+            print(
+                f"[damc] serving step-{int(state.step)} checkpoint from "
+                f"{args.ckpt_dir}/{args.ckpt_name}"
+            )
+        else:
+            print(
+                "[damc] WARNING: no --ckpt_dir — serving a RANDOM-INIT model "
+                "(smoke-test mode)"
+            )
+
+        if args.export_artifact:
+            from ..artifact import export_serving_artifact
+
+            meta = export_serving_artifact(
+                state, models, cfg, args.export_artifact,
+                batch_size=args.max_batch,
+                recon_langevin_steps=args.recon_langevin_steps,
+                platforms=tuple(
+                    s for s in args.artifact_platforms.split(",") if s
+                ),
+            )
+            print(
+                f"[damc] wrote serving artifact to {args.export_artifact}: "
+                f"paths={meta['paths']}, batch={meta['batch_size']}, "
+                f"platforms={meta['platforms']}"
+            )
+            return
+
+        mesh = None
+        if args.use_mesh and len(jax.devices()) > 1:
+            from ..parallel import make_mesh
+
+            mesh = make_mesh()
+            print(
+                f"[damc] data-parallel serving over "
+                f"{mesh.shape['data']} devices"
+            )
+
+        service = SamplerService(
+            state, models, cfg,
+            max_batch=args.max_batch,
+            window_ms=args.window_ms,
+            recon_langevin_steps=args.recon_langevin_steps,
+            deterministic=not args.bucketed,
+            mesh=mesh,
         )
-
-    mesh = None
-    if args.use_mesh and len(jax.devices()) > 1:
-        from ..parallel import make_mesh
-
-        mesh = make_mesh()
-        print(
-            f"[damc] data-parallel serving over {mesh.shape['data']} devices"
-        )
-
-    service = SamplerService(
-        state, models, cfg,
-        max_batch=args.max_batch,
-        window_ms=args.window_ms,
-        recon_langevin_steps=args.recon_langevin_steps,
-        deterministic=not args.bucketed,
-        mesh=mesh,
-    )
     print("[damc] warming up (compiling serving buckets)...")
     service.warmup()
     server = make_http_server(service, args.host, args.port)

@@ -242,6 +242,76 @@ class _Future:
         return self._value
 
 
+def build_serving_fns(
+    models,
+    params_q,
+    params_g,
+    params_e,
+    cfg: Config,
+    recon_langevin_steps: int = 10,
+) -> Dict[str, Tuple[Callable, int, int]]:
+    """The serving programs, keyed by path, as UNJITTED vmap-of-single
+    functions over already-placed (and stop_gradient'ed) params:
+
+      'damc'  (keys)    -> images          — amortized-prior sample
+      'ebm'   (keys)    -> images          — EBM-prior Langevin sample
+                                             (absent when models.ebm is None)
+      'recon' (keys, x) -> (x_hat, z)      — posterior reconstruction
+
+    Values are `(fn, n_in, n_out)`. Single source of truth for BOTH the
+    live `SamplerService` (which jits, optionally with mesh shardings) and
+    the AOT artifact exporter (`damc_tpu.artifact`), so an exported
+    artifact is the same math as the live service. Every fn forces the
+    scan (non-Pallas) paths: the fused kernels draw ancestral noise from
+    one per-batch stream, which would tie a row's result to batch
+    composition (see module docstring)."""
+    mc = cfg.mcmc
+    amort, gen, ebm = models.amortizer, models.generator, models.ebm
+
+    def damc_single(key):
+        # fused=False: per-item key => batch-composition-independent
+        # results (see module docstring).
+        z = sample_q(params_q, amort, key, x=None, b=1, fused=False)
+        return gen.apply(params_g, z)[0]
+
+    def recon_single(key, x):
+        k_q, k_l = jax.random.split(key)
+        xb = x[None]
+        z0 = sample_q(params_q, amort, k_q, x=xb, fused=False)
+        gen_fn = lambda z: gen.apply(params_g, z)
+        if ebm is not None:
+            energy = posterior_energy(
+                gen_fn, lambda z: ebm.apply(params_e, z), xb, mc.g_llhd_sigma
+            )
+        else:
+            energy = gaussian_posterior_energy(gen_fn, xb, mc.g_llhd_sigma)
+        z, _ = langevin_sample(
+            k_l, z0, energy, recon_langevin_steps, mc.g_l_step_size,
+            with_noise=False,
+        )
+        return gen.apply(params_g, z)[0], z[0]
+
+    fns: Dict[str, Tuple[Callable, int, int]] = {
+        "damc": (jax.vmap(damc_single), 1, 1),
+        "recon": (jax.vmap(recon_single), 2, 2),
+    }
+
+    if ebm is not None:
+
+        def ebm_single(key):
+            k0, kc = jax.random.split(key)
+            z0 = jax.random.normal(k0, (1, cfg.model.nz))
+            z, _ = prior_langevin_auto(
+                kc, z0, ebm, params_e, mc.e_l_steps, mc.e_l_step_size,
+                mc.e_l_with_noise, use_pallas=False,
+            )
+            return gen.apply(params_g, z)[0]
+
+        fns["ebm"] = (jax.vmap(ebm_single), 1, 1)
+
+    return fns
+
+
 class SamplerService:
     """Micro-batched serving facade over a trained DAMC state.
 
@@ -249,6 +319,9 @@ class SamplerService:
     sample; absent for toy configs without an EBM), 'recon' (posterior
     reconstruction). Each path gets its own MicroBatcher + jitted
     vmap-of-single program family (one executable per batch bucket).
+
+    `SamplerService.from_artifact(dir)` builds the same facade over
+    AOT-exported programs instead of a live state (`damc_tpu.artifact`).
     """
 
     def __init__(
@@ -263,20 +336,10 @@ class SamplerService:
         deterministic: bool = True,
         mesh: Optional[Mesh] = None,
     ):
-        self.cfg = cfg
-        self.max_batch = int(max_batch)
-        self.deterministic = bool(deterministic)
-        self.request_timeout_s = float(request_timeout_s)
-        self.mesh = mesh
-        self.image_shape = (
-            cfg.model.image_size, cfg.model.image_size, cfg.model.nc
-        )
-        mc = cfg.mcmc
         sg = jax.lax.stop_gradient
         params_q = sg(state.params_q)
         params_g = sg(state.params_g)
         params_e = sg(state.params_e) if models.ebm is not None else None
-        amort, gen, ebm = models.amortizer, models.generator, models.ebm
 
         # Data-parallel serving: params replicate over the mesh once, every
         # dispatch shards its batch rows over the `data` axis (same
@@ -286,7 +349,7 @@ class SamplerService:
             if jax.process_count() > 1:
                 raise ValueError("SamplerService is single-host only")
             n_data = mesh.shape["data"]
-            if self.max_batch % n_data:
+            if int(max_batch) % n_data:
                 raise ValueError(
                     f"max_batch={max_batch} must be divisible by the mesh "
                     f"data axis ({n_data}) so every bucket shards evenly"
@@ -307,53 +370,75 @@ class SamplerService:
                 out_shardings=bs if n_out == 1 else (bs,) * n_out,
             )
 
-        def damc_single(key):
-            # fused=False: per-item key => batch-composition-independent
-            # results (see module docstring).
-            z = sample_q(params_q, amort, key, x=None, b=1, fused=False)
-            return gen.apply(params_g, z)[0]
-
-        def recon_single(key, x):
-            k_q, k_l = jax.random.split(key)
-            xb = x[None]
-            z0 = sample_q(params_q, amort, k_q, x=xb, fused=False)
-            gen_fn = lambda z: gen.apply(params_g, z)
-            if ebm is not None:
-                energy = posterior_energy(
-                    gen_fn, lambda z: ebm.apply(params_e, z), xb, mc.g_llhd_sigma
-                )
-            else:
-                energy = gaussian_posterior_energy(gen_fn, xb, mc.g_llhd_sigma)
-            z, _ = langevin_sample(
-                k_l, z0, energy, recon_langevin_steps, mc.g_l_step_size,
-                with_noise=False,
-            )
-            return gen.apply(params_g, z)[0], z[0]
-
-        fns: Dict[str, Callable] = {
-            "damc": _jit(jax.vmap(damc_single), 1, 1),
-            "recon": _jit(jax.vmap(recon_single), 2, 2),
+        fns = {
+            path: _jit(fn, n_in, n_out)
+            for path, (fn, n_in, n_out) in build_serving_fns(
+                models, params_q, params_g, params_e, cfg,
+                recon_langevin_steps,
+            ).items()
         }
+        image_shape = (
+            cfg.model.image_size, cfg.model.image_size, cfg.model.nc
+        )
+        self._setup(
+            fns, image_shape, cfg=cfg, max_batch=max_batch,
+            window_ms=window_ms, request_timeout_s=request_timeout_s,
+            deterministic=deterministic, mesh=mesh,
+        )
 
-        if ebm is not None:
+    @classmethod
+    def from_artifact(
+        cls,
+        artifact_dir,
+        window_ms: float = 3.0,
+        request_timeout_s: float = 300.0,
+    ) -> "SamplerService":
+        """Serve from an AOT artifact (`damc_tpu.artifact`): deserialized
+        pre-lowered programs with the params baked in — no model code, no
+        checkpoint, no trace at startup. Artifacts carry exactly one
+        compiled batch size, so the service runs in deterministic
+        (single-bucket) mode with max_batch = the exported batch size."""
+        from .artifact import load_serving_artifact
 
-            def ebm_single(key):
-                k0, kc = jax.random.split(key)
-                z0 = jax.random.normal(k0, (1, cfg.model.nz))
-                z, _ = prior_langevin_auto(
-                    kc, z0, ebm, params_e, mc.e_l_steps, mc.e_l_step_size,
-                    mc.e_l_with_noise, use_pallas=False,
-                )
-                return gen.apply(params_g, z)[0]
+        fns, meta = load_serving_artifact(artifact_dir)
+        svc = cls.__new__(cls)
+        svc._setup(
+            fns,
+            tuple(meta["image_shape"]),
+            cfg=None,
+            max_batch=int(meta["batch_size"]),
+            window_ms=window_ms,
+            request_timeout_s=request_timeout_s,
+            deterministic=True,
+            mesh=None,
+        )
+        svc.artifact_meta = meta
+        return svc
 
-            fns["ebm"] = _jit(jax.vmap(ebm_single), 1, 1)
-
+    def _setup(
+        self,
+        fns: Dict[str, Callable],
+        image_shape: Tuple[int, int, int],
+        cfg: Optional[Config],
+        max_batch: int,
+        window_ms: float,
+        request_timeout_s: float,
+        deterministic: bool,
+        mesh: Optional[Mesh],
+    ) -> None:
+        self.cfg = cfg
+        self.max_batch = int(max_batch)
+        self.deterministic = bool(deterministic)
+        self.request_timeout_s = float(request_timeout_s)
+        self.mesh = mesh
+        self.image_shape = tuple(image_shape)
+        self.artifact_meta: Optional[Dict[str, Any]] = None
         self._fns = fns
         self.stats: Dict[str, BatchStats] = {p: BatchStats() for p in fns}
         self._batchers = {
             p: MicroBatcher(
                 self._make_runner(p),
-                max_batch=max_batch,
+                max_batch=self.max_batch,
                 window_ms=window_ms,
                 stats=self.stats[p],
             )
@@ -540,6 +625,9 @@ def make_http_server(
                     {
                         "status": "ok",
                         "backend": jax.default_backend(),
+                        "source": (
+                            "artifact" if service.artifact_meta else "live"
+                        ),
                         "paths": list(service.paths),
                         "image_shape": list(service.image_shape),
                         "max_batch": service.max_batch,
