@@ -101,6 +101,14 @@ def export_serving_artifact(
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "trained_step": int(jax.device_get(state.step)),
+        # The exported input spec bakes in the export host's PRNG key
+        # layout (threefry: shape (2,) uint32; rbg: (4,)). A serving box
+        # with a different jax_default_prng_impl would build mismatched
+        # keys and fail with an opaque shape error — record the layout so
+        # load_serving_artifact can fail with a clear message instead.
+        "prng_impl": str(jax.config.jax_default_prng_impl),
+        "key_shape": list(key.shape),
+        "key_dtype": str(key.dtype),
     }
     (out / _META).write_text(json.dumps(meta, indent=2))
     return meta
@@ -127,12 +135,32 @@ def load_serving_artifact(
             f"artifact format_version {meta.get('format_version')} not "
             f"supported (this build reads {FORMAT_VERSION})"
         )
+    # jax.default_backend() reports 'gpu' on CUDA/ROCm boxes but
+    # jax.export platform names are 'cuda'/'rocm' — expand the alias before
+    # the membership check so a cpu,cuda artifact is not spuriously
+    # rejected on GPU (Exported.call re-checks the real platform anyway).
     backend = jax.default_backend()
-    if backend not in meta["platforms"]:
+    backend_names = {"gpu": ("cuda", "rocm")}.get(backend, (backend,))
+    if not any(b in meta["platforms"] for b in backend_names):
         raise ValueError(
             f"artifact was exported for platforms {meta['platforms']}; "
             f"current backend is {backend!r}"
         )
+    # Validate the PRNG key layout against the export host's (see
+    # export_serving_artifact); absent fields = pre-layout artifact, skip.
+    if "key_shape" in meta:
+        probe = jax.random.PRNGKey(0)
+        if (
+            list(probe.shape) != list(meta["key_shape"])
+            or str(probe.dtype) != meta["key_dtype"]
+        ):
+            raise ValueError(
+                f"artifact was exported with PRNG impl "
+                f"{meta.get('prng_impl')!r} (key shape {meta['key_shape']}, "
+                f"dtype {meta['key_dtype']}); this process builds keys of "
+                f"shape {list(probe.shape)}, dtype {probe.dtype} — set "
+                f"jax_default_prng_impl to match the export host"
+            )
     fns: Dict[str, Callable] = {}
     for path in meta["paths"]:
         f = d / meta["files"][path]

@@ -49,15 +49,17 @@ def main(argv=None):
         "mode is the default)",
     )
     p.add_argument(
-        "--recon_langevin_steps", type=int, default=10,
+        "--recon_langevin_steps", type=int, default=None,
         help="noiseless posterior-Langevin refinement steps on /reconstruct "
-        "(reference train-eval protocol: 10; anomaly eval: 5)",
+        "(reference train-eval protocol: 10 = the default; anomaly eval: 5)",
     )
     p.add_argument(
         "--artifact", type=str, default=None,
         help="serve from an AOT artifact directory (damc_tpu.artifact) "
         "instead of building models: pre-lowered programs with params "
-        "baked in; dataset/arch/ckpt/batching flags are ignored",
+        "baked in; dataset/arch/ckpt/batching flags are ignored, as are "
+        "--recon_langevin_steps and --bucketed (the Langevin step count "
+        "and the single batch bucket are baked into the exported program)",
     )
     p.add_argument(
         "--export_artifact", type=str, default=None,
@@ -83,6 +85,15 @@ def main(argv=None):
     from ..serve import SamplerService, make_http_server
 
     if args.artifact:
+        for flag, is_set in (
+            ("--recon_langevin_steps", args.recon_langevin_steps is not None),
+            ("--bucketed", args.bucketed),
+        ):
+            if is_set:
+                print(
+                    f"[damc] WARNING: {flag} is ignored with --artifact "
+                    "(baked into the exported program)"
+                )
         service = SamplerService.from_artifact(
             args.artifact, window_ms=args.window_ms
         )
@@ -117,7 +128,10 @@ def main(argv=None):
             meta = export_serving_artifact(
                 state, models, cfg, args.export_artifact,
                 batch_size=args.max_batch,
-                recon_langevin_steps=args.recon_langevin_steps,
+                recon_langevin_steps=(
+                    10 if args.recon_langevin_steps is None
+                    else args.recon_langevin_steps
+                ),
                 platforms=tuple(
                     s for s in args.artifact_platforms.split(",") if s
                 ),
@@ -143,7 +157,10 @@ def main(argv=None):
             state, models, cfg,
             max_batch=args.max_batch,
             window_ms=args.window_ms,
-            recon_langevin_steps=args.recon_langevin_steps,
+            recon_langevin_steps=(
+                10 if args.recon_langevin_steps is None
+                else args.recon_langevin_steps
+            ),
             deterministic=not args.bucketed,
             mesh=mesh,
         )
@@ -153,7 +170,7 @@ def main(argv=None):
     host, port = server.server_address[:2]
     print(
         f"[damc] serving {sorted(service.paths)} on http://{host}:{port} "
-        f"(max_batch={args.max_batch}, window={args.window_ms}ms, "
+        f"(max_batch={service.max_batch}, window={args.window_ms}ms, "
         f"backend={jax.default_backend()})"
     )
     try:

@@ -133,6 +133,37 @@ def test_meta_validation(setup, tmp_path):
     with pytest.raises(ValueError, match="platforms"):
         load_serving_artifact(tpu_only)
 
+    # Backend alias: default_backend() says 'gpu' but export platform names
+    # are cuda/rocm — a cpu,cuda artifact must not be rejected on GPU.
+    meta = json.loads((art_dir / "meta.json").read_text())
+    assert meta["key_shape"] == [2] and meta["key_dtype"] == "uint32"
+    from unittest import mock
+
+    import damc_tpu.artifact as artifact_mod
+
+    gpu_meta = dict(meta, platforms=["cpu", "cuda"])
+    gpu_dir = tmp_path / "gpu_alias"
+    gpu_dir.mkdir()
+    (gpu_dir / "meta.json").write_text(json.dumps(gpu_meta))
+    for f in meta["files"].values():
+        (gpu_dir / f).write_bytes((art_dir / f).read_bytes())
+    with mock.patch.object(
+        artifact_mod.jax, "default_backend", return_value="gpu"
+    ):
+        # Passes the platform gate; deserialized programs themselves were
+        # lowered for cpu only, so calling them elsewhere would still fail.
+        fns, _ = load_serving_artifact(gpu_dir)
+    assert sorted(fns) == sorted(meta["paths"])
+
+    # PRNG key-layout mismatch (e.g. rbg-impl serving box) fails loudly
+    # with a clear message instead of an opaque spec shape error.
+    rbg = tmp_path / "rbg"
+    rbg.mkdir()
+    rbg_meta = dict(meta, prng_impl="rbg", key_shape=[4])
+    (rbg / "meta.json").write_text(json.dumps(rbg_meta))
+    with pytest.raises(ValueError, match="PRNG impl"):
+        load_serving_artifact(rbg)
+
 
 def test_cli_export_then_http_serve_from_artifact(setup, tmp_path):
     """End-to-end: cli/serve --export_artifact writes a dir; an HTTP server
