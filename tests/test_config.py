@@ -28,6 +28,26 @@ def test_cifar10_preset():
     assert cfg.train.n_fid_samples == 50_000
 
 
+def test_cifar10_stable_preset():
+    """Production preset = reference-exact cifar10 + the CD-runaway
+    mitigation (alpha=2e-4, 100k-iter endurance evidence in
+    artifacts/cd_runs/reg2e4_100k) with a finite CD-gap alarm ceiling."""
+    import dataclasses
+
+    from damc_tpu.train.driver_utils import cd_gap_ceiling
+
+    base, stable = preset("cifar10"), preset("cifar10-stable")
+    assert stable.train.e_energy_reg == 2e-4
+    # Reference CD stays the default; the stable preset differs ONLY in
+    # the regularizer knob.
+    assert base.train.e_energy_reg == 0.0
+    assert stable == dataclasses.replace(
+        base, train=dataclasses.replace(base.train, e_energy_reg=2e-4)
+    )
+    assert cd_gap_ceiling(stable.train.e_energy_reg) == 1.25 / 2e-4
+    assert cd_gap_ceiling(base.train.e_energy_reg) is None
+
+
 def test_svhn_celeba_presets():
     svhn = preset("svhn")
     assert (svhn.model.nz, svhn.model.ngf) == (100, 64)  # train_gen_recon.py:64-66
