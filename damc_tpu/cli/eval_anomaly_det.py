@@ -24,14 +24,10 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", type=str, required=True)
     p.add_argument("--ckpt_name", type=str, default="best")
     args = p.parse_args(argv)
-    if args.multihost:
-        raise SystemExit(
-            "--multihost is a train-driver flag; eval runs single-process "
-            "(use --use_mesh to spread over all local devices)"
-        )
 
-    from .common import enable_compile_cache
+    from .common import enable_compile_cache, maybe_init_multihost
 
+    maybe_init_multihost(args)  # must precede any jax backend use
     enable_compile_cache()
     cfg = config_from_args(args, preset_name="mnist_anomaly")
     if args.g_llhd_sigma is None:
@@ -45,9 +41,11 @@ def main(argv=None):
     )
 
     from ..train.anomaly import evaluate_auprc
+    from ..train.driver_utils import broadcast_metric, host_local_state
     from ..train.state import create_state
     from ..utils.checkpoint import restore_checkpoint
 
+    multihost = jax.process_count() > 1
     state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
     state = restore_checkpoint(args.ckpt_dir, args.ckpt_name, state)
     mesh = None
@@ -56,10 +54,18 @@ def main(argv=None):
 
         mesh = make_mesh()
         state = replicate(mesh, state)
+    # Multi-host: the AUPRC sweep pulls per-image scores to the host, so it
+    # runs per-host redundant on a host-local state copy (the anomaly train
+    # driver's eval protocol, train/anomaly.py) — every host computes the
+    # identical number; host 0's is printed everywhere.
     score = evaluate_auprc(
         jax.random.PRNGKey(cfg.train.seed),
-        state, models, cfg, test_x, test_y, langevin_steps=5, mesh=mesh,
+        host_local_state(state) if multihost else state,
+        models, cfg, test_x, test_y, langevin_steps=5,
+        mesh=None if multihost else mesh,
     )
+    if multihost:
+        score = broadcast_metric(score)
     print(f"[damc] heldout digit {cfg.train.heldout_digit} AUPRC: {score:.4f}")
 
 

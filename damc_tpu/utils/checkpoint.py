@@ -30,8 +30,27 @@ def save_checkpoint(directory: str, name: str, state: Any) -> str:
 
 
 def restore_checkpoint(directory: str, name: str, target: Any) -> Any:
-    """Restore into the structure of `target` (a template DAMCState)."""
+    """Restore into the structure of `target` (a template DAMCState).
+
+    Multi-process: orbax's jax.Array deserialization demands concrete
+    global shardings it cannot derive from a host-local template (it fails
+    with "sharding ... should be specified"); every process instead reads
+    the full tree as host numpy — equivalent values on all hosts — and the
+    caller places/replicates them over its mesh (parallel.replicate is
+    multi-host-aware)."""
+    import jax
+
     path = os.path.abspath(os.path.join(directory, name))
+    if jax.process_count() > 1:
+        import numpy as np
+        import orbax.checkpoint as ocp
+
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), target
+        )
+        return _checkpointer().restore(
+            path, item=target, restore_args=restore_args
+        )
     restored = _checkpointer().restore(path, item=target)
     return restored
 

@@ -433,3 +433,173 @@ def test_two_process_full_driver(tmp_path):
     )
     assert os.path.isdir(os.path.join(log_dir, "ckpt", "2"))   # periodic ckpt
     assert os.path.isdir(os.path.join(log_dir, "ckpt", "best"))  # gated ckpt
+
+
+EVAL_CFG_SRC = """
+import dataclasses
+from damc_tpu.utils.config import preset
+
+
+def eval_tiny_cfg():
+    cfg = preset("svhn")
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, nz=8, ngf=8, nif=8, nxemb=16, ntemb=16
+        ),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=2),
+        mcmc=dataclasses.replace(cfg.mcmc, g_l_steps=2, e_l_steps=2),
+        train=dataclasses.replace(
+            cfg.train, batch_size=8, n_fid_samples=16, fid_batch_size=8
+        ),
+    )
+
+
+def eval_patch_cli(module):
+    \"\"\"Point the eval CLI at the tiny config + synthetic data + a random
+    feature extractor (no Inception weights in this image). The feature fn
+    is built lazily so the jax backend is first touched AFTER
+    maybe_init_multihost.\"\"\"
+    import numpy as np
+
+    imgs = (np.random.RandomState(0).rand(16, 32, 32, 3) * 2 - 1).astype(
+        np.float32
+    )
+
+    def make_feat(cfg):
+        import jax
+        from damc_tpu.metrics.fid import make_random_feature_fn
+
+        return make_random_feature_fn(jax.random.PRNGKey(0), (32, 32, 3), dim=16), "fid"
+
+    module.config_from_args = lambda args, preset_name=None: eval_tiny_cfg()
+    module.load_dataset = lambda cfg: (imgs, imgs, imgs[:12])
+    module.make_feature_fn = make_feat
+"""
+
+EVAL_CKPT_MAKER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+{cfg_src}
+ckpt_dir = sys.argv[1]
+from damc_tpu.train.state import create_state
+from damc_tpu.utils.checkpoint import save_checkpoint
+
+cfg = eval_tiny_cfg()
+state, models, _ = create_state(jax.random.PRNGKey(7), cfg)
+save_checkpoint(ckpt_dir, "best", state)
+print("CKPT_OK", flush=True)
+"""
+
+EVAL_WORKER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, coord, ckpt_dir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+sys.path.insert(0, {repo!r})
+{cfg_src}
+import damc_tpu.cli.eval_gen_recon as ev
+
+eval_patch_cli(ev)
+ev.main([
+    "--ckpt_dir", ckpt_dir, "--e_l_steps", "2", "--multihost",
+    "--coordinator_address", coord,
+    "--num_processes", str(nproc), "--process_id", str(pid),
+])
+print("EVAL_OK", pid, flush=True)
+"""
+
+EVAL_ORACLE = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+{cfg_src}
+ckpt_dir = sys.argv[1]
+import damc_tpu.cli.eval_gen_recon as ev
+
+eval_patch_cli(ev)
+ev.main(["--ckpt_dir", ckpt_dir, "--e_l_steps", "2", "--use_mesh"])
+print("EVAL_OK oracle", flush=True)
+"""
+
+
+def _eval_metrics_from(out: str) -> dict:
+    vals = {}
+    for line in out.splitlines():
+        if "(DAMC prior):" in line:
+            vals["fid_damc"] = float(line.rsplit(":", 1)[1])
+        elif "(EBM prior):" in line:
+            vals["fid_ebm"] = float(line.rsplit(":", 1)[1])
+        elif "recon MSE:" in line:
+            vals["mse"] = float(line.rsplit(":", 1)[1])
+    assert set(vals) == {"fid_damc", "fid_ebm", "mse"}, f"missing metrics in:\n{out}"
+    return vals
+
+
+@pytest.mark.slow
+def test_two_process_eval_gen_recon_matches_single_process(tmp_path):
+    """Round-4 multihost-eval lift (VERDICT r3 item 3): `cli.eval_gen_recon
+    --multihost` runs the FULL eval (sharded FID via both priors + per-host
+    recon MSE + host-0 metric broadcast) across two real processes, and the
+    numbers match the single-process 2-device-mesh oracle. Same seed =>
+    same threefry streams; the only difference is where the feature-stat
+    reduction crosses a process boundary."""
+    ckpt_dir = str(tmp_path / "ckpt")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    maker = subprocess.run(
+        [sys.executable, "-c",
+         EVAL_CKPT_MAKER.format(repo=REPO, cfg_src=EVAL_CFG_SRC), ckpt_dir],
+        env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert maker.returncode == 0, maker.stdout + maker.stderr
+
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             EVAL_WORKER.format(repo=REPO, cfg_src=EVAL_CFG_SRC),
+             str(i), "2", coord, ckpt_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"EVAL_OK {i}" in out, out
+
+    env_oracle = dict(env)
+    env_oracle["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    oracle = subprocess.run(
+        [sys.executable, "-c",
+         EVAL_ORACLE.format(repo=REPO, cfg_src=EVAL_CFG_SRC), ckpt_dir],
+        env=env_oracle, capture_output=True, text=True, timeout=1500, cwd=REPO,
+    )
+    assert oracle.returncode == 0, oracle.stdout + oracle.stderr
+
+    expect = _eval_metrics_from(oracle.stdout)
+    got = [_eval_metrics_from(o) for o in outs]
+    # Host-0 broadcast => both workers print the SAME values.
+    assert got[0] == got[1], got
+    for k in expect:
+        assert abs(got[0][k] - expect[k]) <= 2e-4 * max(abs(expect[k]), 1.0), (
+            k, got[0][k], expect[k],
+        )
