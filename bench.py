@@ -91,7 +91,7 @@ from damc_tpu.ops.langevin import (
     posterior_energy,
     prior_langevin_auto,
 )
-from damc_tpu.train import create_state
+from damc_tpu.train.state import create_state_host_init
 from damc_tpu.utils import preset
 from damc_tpu.utils.profiling import force_sync
 
@@ -495,20 +495,10 @@ def main():
     enable_compile_cache()
     budget_s = float(os.environ.get(BUDGET_ENV, DEFAULT_BUDGET_S))
     cfg = preset("cifar10")
-    # Initialize on the host CPU backend and transfer once: the dozens of
-    # tiny flax init programs compile in ~24 s there vs ~143 s through the
-    # remote-compile tunnel (same threefry bits either way), which matters
-    # because everything before the first emit risks the driver's budget.
-    try:
-        cpu0 = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        cpu0 = None
-    if cpu0 is not None and jax.default_backend() != "cpu":
-        with jax.default_device(cpu0):
-            state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
-        state = jax.device_put(state, jax.devices()[0])
-    else:
-        state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    # Host-CPU init + one transfer (~24 s vs ~143 s through the remote-
+    # compile tunnel): everything before the first emit risks the driver's
+    # budget.
+    state, models, _ = create_state_host_init(jax.random.PRNGKey(0), cfg)
     collect(
         cfg, state, models, budget_s=budget_s, t_start=t_start, emit=_emit
     )

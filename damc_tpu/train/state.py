@@ -128,6 +128,29 @@ def build_models(cfg: Config) -> ModelBundle:
     return ModelBundle(generator=generator, ebm=ebm, amortizer=amortizer)
 
 
+def create_state_host_init(
+    key: jax.Array, cfg: Config, models: Optional[ModelBundle] = None
+) -> Tuple["DAMCState", "ModelBundle", "Optimizers"]:
+    """create_state with the init programs run on the host CPU backend and
+    the finished state transferred to the default device once.
+
+    The dozens of tiny flax init programs cost ~143 s through this
+    platform's remote-compile tunnel vs ~24 s on the host CPU (identical
+    threefry bits either way — the PRNG is platform-invariant). Used by
+    bench.py and the TPU measurement tools, where preamble wall burns the
+    harness budget; training drivers keep plain create_state (they
+    amortize init over hours)."""
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu0 = None
+    if cpu0 is None or jax.default_backend() == "cpu":
+        return create_state(key, cfg, models)
+    with jax.default_device(cpu0):
+        state, models, opts = create_state(key, cfg, models)
+    return jax.device_put(state, jax.devices()[0]), models, opts
+
+
 def create_state(
     key: jax.Array, cfg: Config, models: Optional[ModelBundle] = None
 ) -> Tuple[DAMCState, ModelBundle, Optimizers]:

@@ -98,13 +98,13 @@ def main():
 
     from damc_tpu.cli.common import enable_compile_cache
     from damc_tpu.serve import SamplerService
-    from damc_tpu.train.state import create_state
+    from damc_tpu.train.state import create_state_host_init
     from damc_tpu.utils.config import preset
     from damc_tpu.utils.profiling import force_sync
 
     enable_compile_cache()
     cfg = preset("cifar10")
-    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    state, models, _ = create_state_host_init(jax.random.PRNGKey(0), cfg)
 
     service = SamplerService(
         state, models, cfg, max_batch=args.max_batch,

@@ -49,14 +49,14 @@ def main():
     args = ap.parse_args()
 
     from damc_tpu.cli.common import enable_compile_cache
-    from damc_tpu.train import create_state
+    from damc_tpu.train.state import create_state_host_init
     from damc_tpu.train.driver_utils import make_step_fn
     from damc_tpu.utils import preset
     from damc_tpu.utils.profiling import force_sync, trace
 
     enable_compile_cache()
     cfg = preset("cifar10")
-    state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
+    state, models, opts = create_state_host_init(jax.random.PRNGKey(0), cfg)
     step, state = make_step_fn(models, opts, cfg, None, state)
     x = jax.random.uniform(
         jax.random.PRNGKey(1), (cfg.train.batch_size, 32, 32, 3),

@@ -46,7 +46,7 @@ def main():
     from damc_tpu.artifact import export_serving_artifact, load_serving_artifact
     from damc_tpu.cli.common import enable_compile_cache
     from damc_tpu.serve import build_serving_fns
-    from damc_tpu.train.state import create_state
+    from damc_tpu.train.state import create_state_host_init
     from damc_tpu.utils.config import preset
 
     enable_compile_cache()
@@ -56,7 +56,7 @@ def main():
 
     t0 = time.perf_counter()
     cfg = preset("cifar10")
-    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    state, models, _ = create_state_host_init(jax.random.PRNGKey(0), cfg)
     sg = jax.lax.stop_gradient
     live = {
         path: jax.jit(fn)
