@@ -82,8 +82,10 @@ def main():
     import bench  # repo-root bench.py: reuses the exact sampling-phase jit
 
     t_phase_info = {}
-    phase_sps, mfu = bench.bench_sampling_phase(models, state, cfg,
-                                               B=cfg.train.batch_size)
+    # bench_sampling_phase returns the flat cumulative-fields dict since the
+    # round-4 bench redesign (scan-impl phase; identical math/FLOPs).
+    mfu = bench.bench_sampling_phase(models, state, cfg,
+                                     B=cfg.train.batch_size)
     t_phase_info["sampling_phase"] = mfu["sampling_phase_wall_s"]
 
     # --- sampling-phase internals: sweep vs posterior vs prior ---
