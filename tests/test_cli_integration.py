@@ -6,7 +6,6 @@ import os
 import pickle
 
 import numpy as np
-import pytest
 
 from damc_tpu.utils import profiling  # noqa: F401  (import coverage)
 
@@ -67,12 +66,13 @@ def test_train_and_eval_cli_roundtrip(tmp_path, monkeypatch):
         common + ["--ckpt_dir", ckpt_dir, "--ckpt_name", "best", "--use_mesh"]
     )
 
-    # --multihost on an eval CLI must refuse loudly, not silently
-    # single-process (train drivers own the multi-host path)
-    with pytest.raises(SystemExit, match="train-driver"):
-        eval_gen_recon.main(
-            common + ["--ckpt_dir", ckpt_dir, "--ckpt_name", "best", "--multihost"]
-        )
+    # --multihost (lifted in round 4, commit 41edc07): with one process it
+    # degrades to the plain single-process eval instead of refusing; the
+    # REAL 2-process equality gate is
+    # test_distributed.py::test_two_process_eval_gen_recon_matches_single_process
+    eval_gen_recon.main(
+        common + ["--ckpt_dir", ckpt_dir, "--ckpt_name", "best", "--multihost"]
+    )
 
 
 def test_step_timer_reports():
