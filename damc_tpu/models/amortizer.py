@@ -190,6 +190,8 @@ def sample_q(
     hoisted: bool = True,
     fused: Optional[bool] = None,
     fused_interpret: bool = False,
+    mesh=None,
+    row_seeds: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Draw z ~ Q(. | x) (posterior) or z ~ Q(.) (prior when x is None).
 
@@ -210,6 +212,16 @@ def sample_q(
     variant does not and keeps the scan). Ancestral noise then comes from
     the on-core PRNG — same distribution, different stream than the scan
     path for the same key (noiseless sweeps are bit-comparable; tested).
+
+    `mesh`: with a multi-device `data` axis, the fused kernel dispatches
+    through `jax.shard_map` over that axis (`fused_reverse_sweep_sharded`) —
+    `pallas_call` is opaque to GSPMD, so the sharded dispatch is what a
+    multi-chip deployment must run (the scan path partitions via GSPMD).
+
+    `row_seeds` ((B,) int32): per-row counter noise for the fused sweep —
+    row i's ancestral noise depends only on row_seeds[i] (serving
+    determinism). Only honored on the fused path; see `sample_q_per_item`
+    for the full per-item contract.
     """
     key_init, key_emb, key_sweep = jax.random.split(key, 3)
 
@@ -247,6 +259,7 @@ def sample_q(
             denoiser_layer_params,
             fits_vmem,
             fused_reverse_sweep,
+            fused_reverse_sweep_sharded,
             step_coefficients,
         )
 
@@ -264,19 +277,31 @@ def sample_q(
             coeffs = step_coefficients(
                 n, model.logsnr_min, model.logsnr_max, model.var_type
             )
-            seed = jax.random.randint(
-                key_sweep, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
-            )
+            seed = None
+            if row_seeds is None:
+                seed = jax.random.randint(
+                    key_sweep, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+                )
             # Match the scan branch's output contract: Q-samples are
             # DETACHED (stop_gradient on every array input severs the AD
             # path before pallas_call, which has no autodiff rule) and
             # honor the requested dtype.
             sg = jax.lax.stop_gradient
-            out = fused_reverse_sweep(
-                sg(z_init), fourier, layers, sg(pre_x), sg(step_xs),
-                coeffs, seed, steps=n, with_noise=model.with_noise,
-                residual=model.residual, interpret=fused_interpret,
+            kw = dict(
+                seed=seed, row_seeds=row_seeds, steps=n,
+                with_noise=model.with_noise, residual=model.residual,
+                interpret=fused_interpret,
             )
+            if mesh is not None and mesh.shape.get("data", 1) > 1:
+                out = fused_reverse_sweep_sharded(
+                    mesh, sg(z_init), fourier, layers, sg(pre_x),
+                    sg(step_xs), coeffs, **kw,
+                )
+            else:
+                out = fused_reverse_sweep(
+                    sg(z_init), fourier, layers, sg(pre_x), sg(step_xs),
+                    coeffs, **kw,
+                )
             return out.astype(dtype)
 
         def denoise_fn(z, logsnr, pre_t_step):
@@ -300,6 +325,13 @@ def sample_q(
                 xemb_unc = model.apply(params, noise, method="prior_embed")
                 return model.apply(params, z, logsnr, xemb_unc, method="denoise")
 
+    if row_seeds is not None:
+        # A silent scan fallback would draw the ancestral noise from one
+        # batch-level stream, voiding the per-row determinism contract.
+        raise ValueError(
+            "sample_q: row_seeds requires the fused Pallas sweep; use "
+            "sample_q_per_item (vmap-of-single fallback) on this path"
+        )
     return reverse_diffusion_sample(
         key_sweep,
         denoise_fn,
@@ -313,3 +345,110 @@ def sample_q(
         cond_w=cond_w,
         step_xs=step_xs,
     )
+
+
+def sample_q_per_item(
+    params,
+    model: DAMCAmortizer,
+    keys: jax.Array,
+    x: Optional[jax.Array] = None,
+    xemb: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+    fused: Optional[bool] = None,
+    fused_interpret: bool = False,
+    mesh=None,
+) -> jax.Array:
+    """Draw a batch of Q samples where row i is a pure function of
+    (params, keys[i], x[i]) — independent of batch composition and order.
+
+    This is the serving runtime's determinism contract (serve.py): a
+    request's result must not depend on which strangers it was coalesced
+    with. Per-row subkeys drive every row-local draw (z_init, the
+    prior-embedding noise), and the reverse sweep runs the fused Pallas
+    kernel in counter-noise mode (`row_seeds`: `ops/pallas/fused_qsweep.py`)
+    so the ancestral noise is per-row too. Where the fused kernel is
+    unavailable (`fused=False`, or auto on a non-TPU backend) it falls back
+    to `jax.vmap` of the single-item `sample_q` — same contract, different
+    (threefry) noise stream.
+
+    Args:
+      keys: (B, 2) uint32 PRNG keys, one per row.
+      x / xemb: per-row conditioning (posterior) or None (prior sampling).
+      fused: None = auto (TPU + VMEM fit), True/False to force.
+      fused_interpret: run the kernel in interpreter mode (CPU testing of
+        the exact fused program — the counter noise is real there).
+      mesh: dispatch the fused sweep through shard_map over `data`.
+    """
+    b = keys.shape[0]
+    split3 = jax.vmap(lambda k: jax.random.split(k, 3))
+    ks = split3(keys)  # (B, 3, key)
+    k_init, k_emb, k_sweep = ks[:, 0], ks[:, 1], ks[:, 2]
+
+    if xemb is not None:
+        b = xemb.shape[0]
+    elif x is not None:
+        xemb = model.apply(params, x, method="encode")
+    else:
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (model.nz,), dtype)
+        )(k_emb)
+        xemb = model.apply(params, noise, method="prior_embed")
+
+    z_init = jax.vmap(lambda k: jax.random.normal(k, (model.nz,), dtype))(k_init)
+
+    from ..ops.diffusion import sweep_logsnr_grid
+    from ..ops.pallas.fused_qsweep import (
+        denoiser_layer_params,
+        fits_vmem,
+        fused_reverse_sweep,
+        fused_reverse_sweep_sharded,
+        step_coefficients,
+    )
+
+    n = model.n_interval
+    grid, _ = sweep_logsnr_grid(n, model.logsnr_min, model.logsnr_max)
+    tables = model.apply(
+        params, grid, xemb, method=lambda m, g, e: m.p.sample_tables(g, e)
+    )
+    pre_x, pre_t = tables["pre_x"], tables["pre_t"]
+    fourier, layers = denoiser_layer_params(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, params)["params"]["p"]
+    )
+    if fused is None:
+        fused = (
+            jax.default_backend() == "tpu"
+            and fits_vmem(fourier, layers, pre_x, pre_t)
+        )
+
+    if not fused:
+        # vmap-of-single: the pre-round-4 serving implementation; per-row
+        # keys, scan sweep. Same contract, different noise stream.
+        if x is not None or xemb is not None:
+            one = lambda k, e: sample_q(
+                params, model, k, xemb=e[None], fused=False
+            )[0]
+            return jax.vmap(one)(keys, xemb).astype(dtype)
+        one = lambda k: sample_q(params, model, k, x=None, b=1, fused=False)[0]
+        return jax.vmap(one)(keys).astype(dtype)
+
+    row_seeds = jax.vmap(
+        lambda k: jax.random.randint(k, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+    )(k_sweep)
+    coeffs = step_coefficients(
+        n, model.logsnr_min, model.logsnr_max, model.var_type
+    )
+    sg = jax.lax.stop_gradient
+    kw = dict(
+        row_seeds=row_seeds, steps=n, with_noise=model.with_noise,
+        residual=model.residual, interpret=fused_interpret,
+    )
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        out = fused_reverse_sweep_sharded(
+            mesh, sg(z_init), fourier, layers, sg(pre_x), sg(pre_t),
+            coeffs, **kw,
+        )
+    else:
+        out = fused_reverse_sweep(
+            sg(z_init), fourier, layers, sg(pre_x), sg(pre_t), coeffs, **kw
+        )
+    return out.astype(dtype)

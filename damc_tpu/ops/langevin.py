@@ -164,6 +164,9 @@ def prior_langevin_auto(
     with_noise: bool = True,
     use_pallas: bool = True,
     dots_dtype: str = "float32",
+    mesh=None,
+    row_seeds: jax.Array = None,
+    pallas_interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Prior-Langevin chain with automatic kernel selection.
 
@@ -179,12 +182,26 @@ def prior_langevin_auto(
     see utils/config.py. Only the Pallas path honors it; the scan fallback
     stays fp32.
 
+    mesh: when given (and its `data` axis is > 1), the fused kernel is
+    dispatched through `jax.shard_map` over the `data` axis — the explicit
+    partitioning rule a multi-chip deployment needs, since `pallas_call` is
+    opaque to GSPMD (the scan fallback partitions via GSPMD as before).
+
+    row_seeds: optional (B,) int32 per-chain seeds — switches the kernel's
+    noise to the counter-based per-row stream (row i's chain depends only on
+    row_seeds[i], independent of batch composition/blocking/sharding; the
+    deterministic serving mode). `key` is then unused by the fused path.
+
+    pallas_interpret: run the fused kernel in interpreter mode and bypass
+    the TPU-backend gate — this makes the EXACT deployed dispatch (incl. the
+    shard_map wrapping) testable on a CPU mesh (tests/test_pallas_sharding.py).
+
     Returns (z_final, final_energy_per_chain).
     """
     ebm_fn = lambda z: ebm_model.apply(jax.lax.stop_gradient(ebm_params), z)
     p = ebm_params.get("params", {}) if isinstance(ebm_params, dict) else {}
     is_standard_mlp = set(p.keys()) == {"Dense_0", "Dense_1", "Dense_2"}
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu" or pallas_interpret
 
     if use_pallas and on_tpu and not is_standard_mlp:
         # Key-set dispatch is deliberate (the kernel hand-codes the 2-hidden
@@ -203,16 +220,34 @@ def prior_langevin_auto(
         from .pallas.fused_langevin import (
             ebm_params_to_dense_weights,
             fused_prior_langevin,
+            fused_prior_langevin_sharded,
         )
 
         weights = ebm_params_to_dense_weights(jax.lax.stop_gradient(ebm_params))
-        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
-        z_final = fused_prior_langevin(
-            z_init, *weights, seed=seed, steps=steps,
+        seed = None
+        if row_seeds is None:
+            seed = jax.random.randint(
+                key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+        kw = dict(
+            seed=seed, row_seeds=row_seeds, steps=steps,
             step_size=float(step_size), with_noise=with_noise,
-            dots_dtype=dots_dtype,
+            dots_dtype=dots_dtype, interpret=pallas_interpret,
         )
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            z_final = fused_prior_langevin_sharded(mesh, z_init, *weights, **kw)
+        else:
+            z_final = fused_prior_langevin(z_init, *weights, **kw)
     else:
+        if row_seeds is not None:
+            # A silent scan fallback here would draw all chains from one
+            # batch-level stream, quietly voiding the per-row determinism
+            # contract the caller asked for.
+            raise ValueError(
+                "prior_langevin_auto: row_seeds (per-row determinism) "
+                "requires the fused Pallas path; use vmap-of-single scan "
+                "chains instead on this backend/EBM"
+            )
         z_final, _ = langevin_sample(
             key, z_init, prior_energy(ebm_fn), steps, step_size, with_noise
         )

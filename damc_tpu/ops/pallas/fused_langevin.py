@@ -81,6 +81,84 @@ def _normal_sample(shape, pair: bool = True):
     return r * jnp.cos(_TWO_PI * u2)
 
 
+# ---------------------------------------------------------------------------
+# Per-row counter-based Gaussian stream (serving determinism / sharding).
+#
+# The stream PRNG above is per-core: a row's noise depends on which block of
+# which batch it lands in, so a serving request's result would vary with
+# batch composition. This counter construction instead hashes
+# (row_seed, step, draw, column) through two rounds of the murmur3 fmix32
+# finalizer — a row's entire noise trajectory is a pure function of ITS seed,
+# independent of batch composition, row position, grid blocking, or mesh
+# sharding. Pure vector integer ops (xor/shift/mul on the VPU), no PRNG
+# state, and — unlike `pltpu.prng_random_bits`, which the Pallas interpreter
+# stubs to zeros — it produces REAL noise in interpret mode, so CPU tests
+# exercise the exact noisy program. Statistical quality is moment/
+# correlation-tested in tests/test_pallas_langevin.py and chain-stationarity
+# validated on TPU (tools/validate_pallas_tpu.py).
+# ---------------------------------------------------------------------------
+
+_GOLD = 0x9E3779B9  # 2^32 / phi — Weyl increment for the counter
+_COLC = 0x85EBCA77  # odd column multiplier
+
+
+def _interpret_mode(interpret):
+    """Map the kernels' `interpret` arg to a pallas_call `interpret=` value.
+
+    False    -> compiled Mosaic (real TPU).
+    True /
+    'mosaic' -> the Mosaic TPU interpreter (`pltpu.InterpretParams`):
+                simulates the on-core primitives incl. the stream PRNG, but
+                its cost explodes under shard_map on CPU (a mid-size sweep
+                kernel takes minutes); use for small single-shard tests.
+    'plain'  -> the generic Pallas interpreter: fast enough for full-size
+                CPU-mesh tests, but has no lowering for `pltpu.prng_*` —
+                valid for noiseless chains and the counter-noise
+                (`row_seeds`) mode only, which is exactly what the
+                determinism/sharding tests exercise.
+    """
+    if interpret == "plain":
+        return True
+    if interpret:  # True or 'mosaic'
+        return pltpu.InterpretParams()
+    return False
+
+
+def _mix32(x):
+    """murmur3 fmix32: full-avalanche 32-bit finalizer (uint32 in/out)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _counter_bits(seeds_u32, counter, cols: int):
+    """(rows, cols) hashed uint32 bits for per-row uint32 seeds and a scalar
+    draw counter. seeds_u32 is (rows, 1); counter is a traced uint32."""
+    col = pltpu.bitcast(
+        jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1), jnp.uint32
+    )
+    base = _mix32(seeds_u32 ^ (counter * jnp.uint32(_GOLD)))  # (rows, 1)
+    return _mix32(base ^ (col * jnp.uint32(_COLC)))  # (rows, cols)
+
+
+def _counter_normal(seeds_u32, step, shape):
+    """Per-row Box-Muller normals: element (i, j) at chain step `step` is a
+    pure function of (seeds_u32[i], step, j)."""
+    rows, cols = shape
+    # Mosaic bitcast is >= 2-D only: lift the scalar step to (1, 1) int32
+    # (non-negative, so the unsigned reinterpretation is the same value).
+    s2 = jnp.full((1, 1), step, jnp.int32)
+    cnt0 = pltpu.bitcast(s2 * 2, jnp.uint32)
+    cnt1 = pltpu.bitcast(s2 * 2 + 1, jnp.uint32)
+    u1 = _uniform_from_bits(_counter_bits(seeds_u32, cnt0, cols))
+    u2 = _uniform_from_bits(_counter_bits(seeds_u32, cnt1, cols))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
 def _kernel(
     seed_ref,
     z_ref,
@@ -95,10 +173,14 @@ def _kernel(
     step_size: float,
     with_noise: bool,
     dots_dtype=jnp.float32,
+    per_row: bool = False,
 ):
-    if with_noise:  # static; PRNG untouched on noiseless chains
+    if with_noise and not per_row:  # static; PRNG untouched on noiseless chains
         # Independent stream per chain-block (grid over the batch axis).
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    row_seeds = (
+        pltpu.bitcast(seed_ref[:], jnp.uint32) if (with_noise and per_row) else None
+    )
     # With dots_dtype=bfloat16 the MXU operands are bf16 (weights cast once,
     # activations per step) while accumulation, the chain state, the energy
     # gradient assembly, and the noise all stay fp32.
@@ -111,7 +193,7 @@ def _kernel(
     k2t = k2.T
     coeff = 0.5 * step_size * step_size
 
-    def body(_, z):
+    def body(step, z):
         h1p = (
             jnp.dot(z.astype(dots_dtype), k1, preferred_element_type=jnp.float32)
             + b1
@@ -132,7 +214,12 @@ def _kernel(
         )
         z = z - coeff * grad
         if with_noise:
-            z = z + step_size * _normal_sample(z.shape)
+            noise = (
+                _counter_normal(row_seeds, step, z.shape)
+                if per_row
+                else _normal_sample(z.shape)
+            )
+            z = z + step_size * noise
         return z
 
     out_ref[:] = jax.lax.fori_loop(0, steps, body, z_ref[:])
@@ -149,12 +236,13 @@ def fused_prior_langevin(
     k2: jax.Array,
     b2: jax.Array,
     k3: jax.Array,
-    seed: jax.Array,
-    steps: int,
-    step_size: float,
+    seed: jax.Array = None,
+    steps: int = 1,
+    step_size: float = 0.1,
     with_noise: bool = True,
     interpret: bool = False,
     dots_dtype: str = "float32",
+    row_seeds: jax.Array = None,
 ) -> jax.Array:
     """Run the full K-step prior-Langevin chain in one Pallas kernel.
 
@@ -162,20 +250,27 @@ def fused_prior_langevin(
       z: (B, nz) chain states (fp32).
       k1, b1, k2, b2: EBM dense weights in flax layout ((nz, ndf), (ndf,), ...).
       k3: (ndf,) or (ndf, 1) final energy head (bias irrelevant to the grad).
-      seed: int32 scalar PRNG seed.
+      seed: int32 scalar PRNG seed (stream mode; ignored when `row_seeds`).
       steps / step_size / with_noise: chain hyperparameters (static).
       interpret: run in TPU-interpreter mode (CPU testing; simulates the
-        Mosaic primitives including the on-core PRNG).
+        Mosaic primitives; NOTE the interpreter stubs `prng_random_bits` to
+        zeros, so noisy stream-mode chains are shape-only on CPU — the
+        `row_seeds` counter mode produces real noise everywhere).
       dots_dtype: 'float32' (default, exact scan parity) or 'bfloat16' —
         bf16 MXU operands with fp32 accumulation/state/noise. The energy
         gradient picks up ~1e-2 relative operand rounding, far below the
         per-step Langevin noise scale; stationary statistics are validated
         on TPU by tools/validate_pallas_tpu.py.
+      row_seeds: optional (B,) int32 per-chain seeds. Switches the noise to
+        the counter-based per-row stream (`_counter_normal`): row i's chain
+        depends ONLY on (row_seeds[i], z[i]) — independent of batch
+        composition, row order, grid blocking, and mesh sharding. Used by
+        the deterministic serving path and the shard_map dispatch.
     """
     b1 = b1.reshape(1, -1).astype(jnp.float32)
     b2 = b2.reshape(1, -1).astype(jnp.float32)
     k3 = k3.reshape(1, -1).astype(jnp.float32)  # (1, ndf)
-    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    per_row = row_seeds is not None
 
     kernel = functools.partial(
         _kernel,
@@ -183,6 +278,7 @@ def fused_prior_langevin(
         step_size=float(step_size),
         with_noise=with_noise,
         dots_dtype=jnp.dtype(dots_dtype).type,
+        per_row=per_row,
     )
 
     # Tile the chain (batch) axis so arbitrarily many chains fit: each grid
@@ -196,6 +292,16 @@ def fused_prior_langevin(
     z32 = z.astype(jnp.float32)
     if b_pad != b:
         z32 = jnp.pad(z32, ((0, b_pad - b), (0, 0)))
+    if per_row:
+        seed_op = jnp.asarray(row_seeds, jnp.int32).reshape(-1, 1)
+        if b_pad != b:
+            seed_op = jnp.pad(seed_op, ((0, b_pad - b), (0, 0)))
+        seed_spec = pl.BlockSpec((block_b, 1), lambda i: (i, 0))
+    else:
+        if seed is None:
+            seed = jnp.int32(0)
+        seed_op = jnp.asarray(seed, jnp.int32).reshape(1)
+        seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     # 4 MXU dots per step (fwd z@k1, h1@k2; input-bwd d2@k2^T, d1@k1^T)
     # = 2*nz*ndf + 2*ndf*ndf MACs per row (the ndf->1 head runs on the VPU).
@@ -207,7 +313,7 @@ def fused_prior_langevin(
         grid=(n_blocks,),
         out_shape=jax.ShapeDtypeStruct((b_pad, nz), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            seed_spec,
             pl.BlockSpec((block_b, nz), lambda i: (i, 0)),
             rep(k1.shape),
             rep((1, b1.shape[1])),
@@ -221,8 +327,93 @@ def fused_prior_langevin(
             bytes_accessed=b_pad * nz * 4 * 2 + k1.size * 4 + k2.size * 4,
             transcendentals=steps * b_pad * nz * 2 if with_noise else 0,
         ),
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, z32, k1.astype(jnp.float32), b1, k2.astype(jnp.float32), b2, k3)
+        interpret=_interpret_mode(interpret),
+    )(seed_op, z32, k1.astype(jnp.float32), b1, k2.astype(jnp.float32), b2, k3)
+    return out[:b]
+
+
+def fused_prior_langevin_sharded(
+    mesh,
+    z: jax.Array,
+    k1: jax.Array,
+    b1: jax.Array,
+    k2: jax.Array,
+    b2: jax.Array,
+    k3: jax.Array,
+    seed: jax.Array = None,
+    steps: int = 1,
+    step_size: float = 0.1,
+    with_noise: bool = True,
+    interpret: bool = False,
+    dots_dtype: str = "float32",
+    row_seeds: jax.Array = None,
+    axis: str = "data",
+) -> jax.Array:
+    """`fused_prior_langevin` partitioned over a mesh axis via shard_map.
+
+    `pallas_call` is opaque to GSPMD: under pjit alone a multi-chip mesh
+    would gather-and-replicate the chain batch around the kernel. This
+    wrapper gives the kernel an explicit partitioning rule — chains are
+    embarrassingly parallel, so each shard runs the identical kernel on its
+    local (B/n, nz) rows with the weights replicated:
+
+      * stream mode (scalar `seed`): each shard offsets the seed by
+        `axis_index * local_block_count`, continuing the per-block stream
+        layout of the single-device kernel — every grid block on every
+        shard draws from a distinct PRNG stream;
+      * counter mode (`row_seeds`): seeds shard with the rows; a row's
+        noise is already independent of blocking/sharding by construction,
+        so the sharded result is BIT-IDENTICAL to the unsharded one.
+
+    Pads non-divisible batches (padded rows discarded). Works under `jit`
+    with the same mesh (the caller's in_shardings place `z` on `axis`).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    if n == 1:
+        return fused_prior_langevin(
+            z, k1, b1, k2, b2, k3, seed=seed, steps=steps,
+            step_size=step_size, with_noise=with_noise, interpret=interpret,
+            dots_dtype=dots_dtype, row_seeds=row_seeds,
+        )
+    b = z.shape[0]
+    b_pad = -(-b // n) * n
+    z32 = z.astype(jnp.float32)
+    if b_pad != b:
+        z32 = jnp.pad(z32, ((0, b_pad - b), (0, 0)))
+    local_b = b_pad // n
+    block_b = min(local_b, 1024)
+    local_blocks = -(-local_b // block_b)
+
+    per_row = row_seeds is not None
+    if per_row:
+        seed_arg = jnp.asarray(row_seeds, jnp.int32)
+        if b_pad != b:
+            seed_arg = jnp.pad(seed_arg, (0, b_pad - b))
+        seed_spec = P(axis)
+    else:
+        seed_arg = jnp.asarray(0 if seed is None else seed, jnp.int32)
+        seed_spec = P()
+
+    def body(z_l, seed_l, k1_, b1_, k2_, b2_, k3_):
+        if per_row:
+            kw = dict(row_seeds=seed_l)
+        else:
+            kw = dict(seed=seed_l + jax.lax.axis_index(axis) * local_blocks)
+        return fused_prior_langevin(
+            z_l, k1_, b1_, k2_, b2_, k3_, steps=steps, step_size=step_size,
+            with_noise=with_noise, interpret=interpret, dots_dtype=dots_dtype,
+            **kw,
+        )
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), seed_spec, P(), P(), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )(z32, seed_arg, k1, b1, k2, b2, k3)
     return out[:b]
 
 

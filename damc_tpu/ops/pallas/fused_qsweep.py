@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..diffusion import diffusion_reverse, pred_x_from_eps, sweep_logsnr_grid
-from .fused_langevin import _normal_sample
+from .fused_langevin import _counter_normal, _interpret_mode, _normal_sample
 
 # Per-layer refs, in order: lin_k, lin_b, skip_k, skip_b, gate_k, gate_b,
 # hyper_k, pre_x, pre_t.
@@ -91,6 +91,7 @@ def _kernel(
     with_noise: bool,
     residual: bool,
     noise_pair: bool = True,
+    per_row: bool = False,
 ):
     (seed_ref, coef_ref, z_ref, fourier_ref), rest = refs[:4], refs[4:]
     layer_refs = [
@@ -99,8 +100,11 @@ def _kernel(
     ]
     out_ref = rest[n_layers * _REFS_PER_LAYER]
 
-    if with_noise:
+    if with_noise and not per_row:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    row_seeds = (
+        pltpu.bitcast(seed_ref[:], jnp.uint32) if (with_noise and per_row) else None
+    )
 
     fourier = fourier_ref[:]
     weights = []  # VMEM-resident for the whole sweep
@@ -172,7 +176,12 @@ def _kernel(
         x_pred = c1 * z - c2 * eps
         z_next = m_z * z + m_x * x_pred
         if with_noise:
-            z_next = z_next + std * _normal_sample(z.shape, pair=noise_pair)
+            noise = (
+                _counter_normal(row_seeds, step, z.shape)
+                if per_row
+                else _normal_sample(z.shape, pair=noise_pair)
+            )
+            z_next = z_next + std * noise
         return jnp.where(is_last > 0.5, x_pred, z_next)
 
     out_ref[:] = jax.lax.fori_loop(0, steps, body, z_ref[:])
@@ -250,13 +259,14 @@ def fused_reverse_sweep(
     pre_x: Sequence[jax.Array],
     pre_t: Sequence[jax.Array],
     coeffs: jax.Array,
-    seed: jax.Array,
-    steps: int,
+    seed: jax.Array = None,
+    steps: int = 1,
     with_noise: bool = True,
     residual: bool = True,
     interpret: bool = False,
     block_b: int = 128,
     noise_pair: bool = True,
+    row_seeds: jax.Array = None,
 ) -> jax.Array:
     """Run the whole n-step reverse sweep in one Pallas kernel.
 
@@ -264,6 +274,11 @@ def fused_reverse_sweep(
     `pre_t[l]` (n, dout_l) step tables (`LatentDenoiser.sample_tables`),
     `coeffs` from `step_coefficients`. Chains tile over a 1-d grid in
     `block_b` rows (per-block PRNG streams), padding non-divisible batches.
+
+    `row_seeds` ((B,) int32) switches the ancestral noise to the per-row
+    counter stream (`fused_langevin._counter_normal`): row i depends only on
+    (row_seeds[i], z_init[i], pre_x[*][i]) — independent of batch
+    composition / blocking / sharding. Serving + shard_map use this mode.
     """
     n_layers = len(layers)
     b, nz = z_init.shape
@@ -275,6 +290,17 @@ def fused_reverse_sweep(
     if b_pad != b:
         z32 = jnp.pad(z32, ((0, b_pad - b), (0, 0)))
         pre_x = [jnp.pad(t, ((0, b_pad - b), (0, 0))) for t in pre_x]
+    per_row = row_seeds is not None
+    if per_row:
+        seed_op = jnp.asarray(row_seeds, jnp.int32).reshape(-1, 1)
+        if b_pad != b:
+            seed_op = jnp.pad(seed_op, ((0, b_pad - b), (0, 0)))
+        seed_spec = pl.BlockSpec((block_b, 1), lambda i: (i, 0))
+    else:
+        seed_op = jnp.asarray(
+            0 if seed is None else seed, jnp.int32
+        ).reshape(1)
+        seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     kernel = functools.partial(
         _kernel,
@@ -283,17 +309,18 @@ def fused_reverse_sweep(
         with_noise=with_noise,
         residual=residual,
         noise_pair=noise_pair,
+        per_row=per_row,
     )
 
     rep = lambda t: pl.BlockSpec(t.shape, lambda i: tuple([0] * t.ndim))
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        seed_spec,
         rep(coeffs),
         pl.BlockSpec((block_b, nz), lambda i: (i, 0)),  # z
         rep(fourier),
     ]
     operands = [
-        jnp.asarray(seed, jnp.int32).reshape(1),
+        seed_op,
         jnp.asarray(coeffs, jnp.float32),
         z32,
         jnp.asarray(fourier, jnp.float32),
@@ -325,10 +352,97 @@ def fused_reverse_sweep(
             bytes_accessed=int(sum(np.prod(t.shape) for lt in layers for t in lt) * 4),
             transcendentals=steps * b_pad * nz * 4,
         ),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=_interpret_mode(interpret),
     )(*operands)
     return out[:b]
 
 
 def fits_vmem(fourier, layers, pre_x, pre_t, block_b: int = 128) -> bool:
     return estimate_vmem_bytes(fourier, layers, pre_x, pre_t, block_b) <= _VMEM_BUDGET_BYTES
+
+
+def fused_reverse_sweep_sharded(
+    mesh,
+    z_init: jax.Array,
+    fourier: jax.Array,
+    layers: Sequence[Tuple[jax.Array, ...]],
+    pre_x: Sequence[jax.Array],
+    pre_t: Sequence[jax.Array],
+    coeffs: jax.Array,
+    seed: jax.Array = None,
+    steps: int = 1,
+    with_noise: bool = True,
+    residual: bool = True,
+    interpret: bool = False,
+    block_b: int = 128,
+    noise_pair: bool = True,
+    row_seeds: jax.Array = None,
+    axis: str = "data",
+) -> jax.Array:
+    """`fused_reverse_sweep` partitioned over a mesh axis via shard_map.
+
+    Same rationale as `fused_prior_langevin_sharded`: the kernel has no
+    GSPMD partitioning rule, so this gives it one explicitly. The chain
+    state and the per-sample context tables (`pre_x`) shard over `axis`;
+    weights, per-step tables, and schedule coefficients replicate. Stream
+    mode offsets each shard's seed by its local grid-block count; counter
+    mode (`row_seeds`) shards the seeds with the rows and is bit-identical
+    to the unsharded kernel. Pads non-divisible batches.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    kw = dict(
+        steps=steps, with_noise=with_noise, residual=residual,
+        interpret=interpret, block_b=block_b, noise_pair=noise_pair,
+    )
+    n = mesh.shape[axis]
+    if n == 1:
+        return fused_reverse_sweep(
+            z_init, fourier, layers, pre_x, pre_t, coeffs,
+            seed=seed, row_seeds=row_seeds, **kw,
+        )
+    b = z_init.shape[0]
+    b_pad = -(-b // n) * n
+    z32 = z_init.astype(jnp.float32)
+    pre_x = [jnp.asarray(t, jnp.float32) for t in pre_x]
+    if b_pad != b:
+        z32 = jnp.pad(z32, ((0, b_pad - b), (0, 0)))
+        pre_x = [jnp.pad(t, ((0, b_pad - b), (0, 0))) for t in pre_x]
+    local_b = b_pad // n
+    block_b_l = min(block_b, max(local_b, 8))
+    local_blocks = -(-local_b // block_b_l)
+    kw["block_b"] = block_b_l
+
+    per_row = row_seeds is not None
+    if per_row:
+        seed_arg = jnp.asarray(row_seeds, jnp.int32)
+        if b_pad != b:
+            seed_arg = jnp.pad(seed_arg, (0, b_pad - b))
+        seed_spec = P(axis)
+    else:
+        seed_arg = jnp.asarray(0 if seed is None else seed, jnp.int32)
+        seed_spec = P()
+
+    layers = [tuple(lt) for lt in layers]
+    rep_layers = [tuple(P() for _ in lt) for lt in layers]
+
+    def body(z_l, seed_l, fourier_, layers_, pre_x_, pre_t_, coeffs_):
+        if per_row:
+            skw = dict(row_seeds=seed_l)
+        else:
+            skw = dict(seed=seed_l + jax.lax.axis_index(axis) * local_blocks)
+        return fused_reverse_sweep(
+            z_l, fourier_, layers_, pre_x_, pre_t_, coeffs_, **skw, **kw
+        )
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(axis), seed_spec, P(), rep_layers,
+            [P(axis) for _ in pre_x], [P() for _ in pre_t], P(),
+        ),
+        out_specs=P(axis),
+        check_vma=False,
+    )(z32, seed_arg, fourier, layers, pre_x, list(pre_t), coeffs)
+    return out[:b]

@@ -36,11 +36,35 @@ Metrics = Dict[str, jax.Array]
 
 
 def make_train_step(
-    models: ModelBundle, opts: Optimizers, cfg: Config
+    models: ModelBundle,
+    opts: Optimizers,
+    cfg: Config,
+    mesh=None,
+    pallas_interpret: bool = False,
 ) -> Callable[[DAMCState, jax.Array], Tuple[DAMCState, Metrics]]:
-    """Build the jittable train step for this workload config."""
+    """Build the jittable train step for this workload config.
+
+    `mesh`: the device mesh the step will be jitted over (if any). The scan/
+    conv paths partition via GSPMD from the caller's in_shardings alone, but
+    the fused Pallas kernels are opaque to GSPMD — with a multi-device
+    `data` axis they dispatch through `jax.shard_map` (chains partitioned,
+    weights replicated; see ops/pallas/*_sharded). Pass the SAME mesh used
+    for the jit shardings.
+
+    `pallas_interpret`: run the fused kernels in interpreter mode (False |
+    'mosaic' | 'plain', see `ops/pallas/fused_langevin._interpret_mode`) and
+    force their dispatch on non-TPU backends — lets CPU-mesh tests execute
+    the exact multi-chip program (tests/test_pallas_sharding.py).
+    """
     tc, mc, dc = cfg.train, cfg.mcmc, cfg.diffusion
     sg = jax.lax.stop_gradient
+    data_sharded = mesh is not None and mesh.shape.get("data", 1) > 1
+    # sample_q kwargs for the deployed dispatch: under a mesh the fused
+    # sweep must go through shard_map; interpret mode forces fused=True so
+    # CPU tests trace the same program.
+    q_kw = dict(mesh=mesh if data_sharded else None)
+    if pallas_interpret:
+        q_kw.update(fused=True, fused_interpret=pallas_interpret)
 
     def train_step(state: DAMCState, x: jax.Array) -> Tuple[DAMCState, Metrics]:
         rng, k_mask, k_q0, k_post, k_neg_init, k_prior, k_qloss = jax.random.split(
@@ -60,7 +84,7 @@ def make_train_step(
             z_mask = jnp.ones((b, 1), x.dtype)
 
         # ---- 1. Amortized init: z0 ~ Q_ema(. | x) ------------------------
-        z0 = sample_q(sg(state.params_q_ema), models.amortizer, k_q0, x=x)
+        z0 = sample_q(sg(state.params_q_ema), models.amortizer, k_q0, x=x, **q_kw)
 
         # ---- 2. Posterior Langevin refinement ----------------------------
         gen_fn = lambda z: models.generator.apply(sg(state.params_g), z)
@@ -98,6 +122,8 @@ def make_train_step(
                 mc.e_l_with_noise,
                 use_pallas=tc.use_pallas,
                 dots_dtype=tc.pallas_dots_dtype,
+                mesh=mesh if data_sharded else None,
+                pallas_interpret=pallas_interpret,
             )
 
         # ---- 4. q_updates x amortizer update (denoising score matching) ---

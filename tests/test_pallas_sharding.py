@@ -1,0 +1,332 @@
+"""The fused Pallas kernels under a multi-device mesh (round-5, VERDICT r4 #1).
+
+`pallas_call` is opaque to GSPMD, so the deployed multi-chip path wraps the
+kernels in `jax.shard_map` over the `data` axis (`fused_prior_langevin_sharded`
+/ `fused_reverse_sweep_sharded`). These tests run the EXACT dispatch the TPU
+pod runs — `prior_langevin_auto(..., mesh=...)` / `sample_q(..., mesh=...)` —
+in interpreter mode on the 8-virtual-device CPU mesh (tests/conftest.py).
+
+Noise testability: the interpreter stubs the on-core stream PRNG to zeros,
+but the per-row COUNTER noise (`_counter_normal`, used by serving determinism
+and by `row_seeds` mode) is plain vector integer math and produces real noise
+everywhere — so the noisy sharded programs are value-checked here, not just
+shape-checked: counter mode is bit-identical sharded vs unsharded by
+construction.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from damc_tpu.models import LatentEBM
+from damc_tpu.models.amortizer import sample_q, sample_q_per_item
+from damc_tpu.ops.langevin import langevin_sample, prior_energy, prior_langevin_auto
+from damc_tpu.ops.pallas.fused_langevin import (
+    ebm_params_to_dense_weights,
+    fused_prior_langevin,
+    fused_prior_langevin_sharded,
+)
+from damc_tpu.parallel import batch_sharding, make_mesh, shard_batch
+from damc_tpu.train.state import create_state
+from damc_tpu.utils.config import preset
+
+
+@pytest.fixture(scope="module")
+def ebm_setup():
+    ebm = LatentEBM(ndf=64)
+    z = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    params = ebm.init(jax.random.PRNGKey(1), z)
+    return ebm, params, z
+
+
+@pytest.fixture(scope="module")
+def q_setup():
+    cfg = preset("cifar10")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, nz=16, ngf=8, nif=8, nxemb=24, ntemb=8
+        ),
+        diffusion=dataclasses.replace(cfg.diffusion, n_interval=4),
+    )
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    return cfg, state, models
+
+
+def test_counter_noise_statistics():
+    """The per-row counter RNG (murmur-mix Box-Muller) must produce
+    standard-normal draws with independent rows/steps — checked on 128k
+    draws in interpret mode (where this generator runs for real)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from damc_tpu.ops.pallas.fused_langevin import _counter_normal
+
+    rows, cols, nsteps = 64, 256, 8
+
+    def kern(seed_ref, out_ref):
+        seeds = pltpu.bitcast(seed_ref[:], jnp.uint32)
+        for k in range(nsteps):
+            out_ref[:, k, :] = _counter_normal(seeds, jnp.int32(k), (rows, cols))
+
+    seeds = jnp.arange(rows, dtype=jnp.int32).reshape(rows, 1)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((rows, nsteps, cols), jnp.float32),
+        interpret=pltpu.InterpretParams(),
+    )(seeds)
+    a = np.asarray(out).reshape(rows, -1)
+    flat = a.ravel()
+    n = flat.size  # 131072
+    # Moments: mean/std/skew/kurtosis within ~6 sigma of N(0,1) expectations.
+    assert abs(flat.mean()) < 6.0 / np.sqrt(n)
+    assert abs(flat.std() - 1.0) < 6.0 / np.sqrt(2 * n)
+    skew = ((flat - flat.mean()) ** 3).mean() / flat.std() ** 3
+    kurt = ((flat - flat.mean()) ** 4).mean() / flat.std() ** 4
+    assert abs(skew) < 6.0 * np.sqrt(6.0 / n)
+    assert abs(kurt - 3.0) < 6.0 * np.sqrt(24.0 / n)
+    # Independence: row-row and lag-1 correlations at noise level.
+    c = np.corrcoef(a)
+    off = np.abs(c[np.triu_indices(rows, 1)])
+    assert off.max() < 0.12  # ~5.4 sigma at 2048 samples/row
+    lag1 = np.corrcoef(a[:, :-1].ravel(), a[:, 1:].ravel())[0, 1]
+    assert abs(lag1) < 0.02
+
+
+def test_fused_langevin_row_seeds_composition_independent(ebm_setup):
+    """Counter mode: a chain's NOISY trajectory depends only on its own
+    (seed, z0) — same values alone, packed, permuted, or re-blocked."""
+    ebm, params, z = ebm_setup
+    w = ebm_params_to_dense_weights(params)
+    seeds = jnp.arange(100, 116, dtype=jnp.int32)
+    kw = dict(steps=5, step_size=0.1, with_noise=True, interpret=True)
+    full = np.asarray(fused_prior_langevin(z, *w, row_seeds=seeds, **kw))
+    solo = np.asarray(
+        fused_prior_langevin(z[3:4], *w, row_seeds=seeds[3:4], **kw)
+    )
+    assert np.array_equal(full[3], solo[0])
+    perm = np.random.RandomState(0).permutation(16)
+    permd = np.asarray(
+        fused_prior_langevin(z[perm], *w, row_seeds=seeds[perm], **kw)
+    )
+    assert np.array_equal(permd, full[perm])
+    # distinct seeds produce distinct noise; everything finite
+    other = np.asarray(fused_prior_langevin(z, *w, row_seeds=seeds + 1, **kw))
+    assert np.abs(full - other).max() > 0.01
+    assert np.all(np.isfinite(full))
+
+
+def test_fused_langevin_sharded_bitexact(ebm_setup):
+    """The shard_map dispatch over the 8-device mesh is bit-identical to the
+    single-device kernel in counter mode — including under jit with the
+    deployed in/out shardings, and for non-divisible batches."""
+    ebm, params, z = ebm_setup
+    w = ebm_params_to_dense_weights(params)
+    mesh = make_mesh()
+    seeds = jnp.arange(100, 116, dtype=jnp.int32)
+    kw = dict(steps=5, step_size=0.1, with_noise=True, interpret=True)
+    ref = np.asarray(fused_prior_langevin(z, *w, row_seeds=seeds, **kw))
+
+    f = jax.jit(
+        lambda zz, s: fused_prior_langevin_sharded(
+            mesh, zz, *w, row_seeds=s, **kw
+        ),
+        in_shardings=(batch_sharding(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+    out = np.asarray(f(shard_batch(mesh, z), shard_batch(mesh, np.asarray(seeds))))
+    assert np.array_equal(out, ref)
+
+    # non-divisible batch pads internally
+    z17 = jax.random.normal(jax.random.PRNGKey(9), (17, 8))
+    s17 = jnp.arange(17, dtype=jnp.int32)
+    r17 = np.asarray(fused_prior_langevin(z17, *w, row_seeds=s17, **kw))
+    o17 = np.asarray(
+        fused_prior_langevin_sharded(mesh, z17, *w, row_seeds=s17, **kw)
+    )
+    assert np.array_equal(o17, r17)
+
+
+def test_prior_langevin_auto_sharded_dispatch(ebm_setup):
+    """The EXACT deployed dispatch (`prior_langevin_auto` with use_pallas and
+    a mesh) must partition the fused kernel and match the scan path on a
+    noiseless chain."""
+    ebm, params, z = ebm_setup
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(2)
+
+    z_scan, _ = prior_langevin_auto(
+        key, z, ebm, params, steps=6, step_size=0.3, with_noise=False,
+        use_pallas=False,
+    )
+    z_sharded, en = prior_langevin_auto(
+        key, shard_batch(mesh, np.asarray(z)), ebm, params, steps=6,
+        step_size=0.3, with_noise=False, use_pallas=True, mesh=mesh,
+        pallas_interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_sharded), np.asarray(z_scan), atol=1e-5
+    )
+    assert np.all(np.isfinite(np.asarray(en)))
+
+
+def test_prior_langevin_auto_row_seeds_requires_fused(ebm_setup):
+    ebm, params, z = ebm_setup
+    with pytest.raises(ValueError, match="row_seeds"):
+        prior_langevin_auto(
+            jax.random.PRNGKey(0), z, ebm, params, steps=2, step_size=0.1,
+            use_pallas=False, row_seeds=jnp.arange(16, dtype=jnp.int32),
+        )
+
+
+@pytest.mark.slow
+def test_sample_q_fused_sharded_matches_scan(q_setup):
+    """sample_q with a mesh dispatches the shard_map'd fused sweep; the
+    noiseless result must match the (GSPMD) scan path for the same key.
+
+    interpret='plain' (generic Pallas interpreter): bit-identical to the
+    Mosaic interpreter for this program class and ~100x faster under an
+    8-shard CPU mesh (the Mosaic simulator's cost explodes under shard_map)."""
+    cfg, state, models = q_setup
+    model_nonoise = dataclasses.replace(models.amortizer, with_noise=False)
+    mesh = make_mesh()
+    x = jax.random.uniform(
+        jax.random.PRNGKey(5), (16, 32, 32, 3), minval=-1, maxval=1
+    )
+    z_ref = sample_q(
+        state.params_q, model_nonoise, jax.random.PRNGKey(6), x=x, fused=False
+    )
+    z_sharded = sample_q(
+        state.params_q, model_nonoise, jax.random.PRNGKey(6),
+        x=shard_batch(mesh, np.asarray(x)), fused=True,
+        fused_interpret="plain", mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_sharded), np.asarray(z_ref), atol=2e-4, rtol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_sample_q_per_item_composition_and_sharding(q_setup):
+    """Per-item mode: row i of the NOISY fused sweep is a pure function of
+    keys[i] — equal alone vs packed, and bit-identical under the sharded
+    dispatch on the 8-device mesh (counter noise runs for real in the plain
+    interpreter; tested bit-equal to the Mosaic interpreter)."""
+    cfg, state, models = q_setup
+    model = models.amortizer
+    keys = jax.vmap(
+        lambda i: jax.random.fold_in(jax.random.PRNGKey(42), i)
+    )(jnp.arange(16))
+    x = jax.random.uniform(
+        jax.random.PRNGKey(7), (16, 32, 32, 3), minval=-1, maxval=1
+    )
+
+    full = np.asarray(
+        sample_q_per_item(
+            state.params_q, model, keys, x=x, fused=True,
+            fused_interpret="plain",
+        )
+    )
+    assert np.all(np.isfinite(full))
+    # The serving contract (serve.py deterministic mode): every dispatch
+    # runs the SAME fixed-shape bucket; a row's result must not depend on
+    # which strangers fill the other rows or where in the bucket it sits.
+    # Rebuild the bucket with item 5 at position 9 among different items.
+    keys2 = jax.vmap(
+        lambda i: jax.random.fold_in(jax.random.PRNGKey(1234), i)
+    )(jnp.arange(16))
+    keys2 = keys2.at[9].set(keys[5])
+    x2 = jax.random.uniform(
+        jax.random.PRNGKey(8), (16, 32, 32, 3), minval=-1, maxval=1
+    )
+    x2 = x2.at[9].set(x[5])
+    other = np.asarray(
+        sample_q_per_item(
+            state.params_q, model, keys2, x=x2, fused=True,
+            fused_interpret="plain",
+        )
+    )
+    assert np.array_equal(other[9], full[5])
+    # the counter noise stream matches under the Mosaic TPU interpreter
+    # (tiny dot-rounding differences between the two interpreters aside)
+    mosaic = np.asarray(
+        sample_q_per_item(
+            state.params_q, model, keys, x=x, fused=True,
+            fused_interpret="mosaic",
+        )
+    )
+    np.testing.assert_allclose(mosaic, full, atol=1e-5, rtol=1e-5)
+
+    mesh = make_mesh()
+    sharded = np.asarray(
+        sample_q_per_item(
+            state.params_q, model, keys, x=x, fused=True,
+            fused_interpret="plain", mesh=mesh,
+        )
+    )
+    assert np.array_equal(sharded, full)
+
+    # the scan fallback honors the same contract (different stream). b=16
+    # vs b=1 are different XLA programs whose GEMM reduction order differs
+    # at the float-ulp level on CPU — in production the deterministic
+    # serving mode always dispatches ONE fixed bucket shape (serve.py), so
+    # cross-shape equality is not part of the contract; only same-noise is.
+    fb_full = np.asarray(
+        sample_q_per_item(state.params_q, model, keys, x=x, fused=False)
+    )
+    fb_solo = np.asarray(
+        sample_q_per_item(
+            state.params_q, model, keys[5:6], x=x[5:6], fused=False
+        )
+    )
+    np.testing.assert_allclose(fb_full[5], fb_solo[0], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_train_step_with_mesh_runs_sharded_pallas():
+    """The fused train step built with a mesh (the deployed multi-chip
+    configuration) must compile and run with both Pallas kernels dispatched
+    through shard_map. Plain-interpret mode has no stream-PRNG lowering, so
+    the config is noiseless — the dispatch/sharding structure under test is
+    identical (noise only changes kernel-internal VPU ops)."""
+    from damc_tpu.parallel import replicate, replicated
+    from damc_tpu.train import make_train_step
+    from damc_tpu.train.state import create_state
+
+    cfg = preset("cifar10")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, nz=16, ngf=8, nif=8, nxemb=24, ntemb=8
+        ),
+        diffusion=dataclasses.replace(
+            cfg.diffusion, n_interval=2, with_noise=False
+        ),
+        mcmc=dataclasses.replace(
+            cfg.mcmc, g_l_steps=2, e_l_steps=2, e_l_with_noise=False
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=8, q_updates=1),
+    )
+    mesh = make_mesh()
+    state, models, opts = create_state(jax.random.PRNGKey(0), cfg)
+    state = replicate(mesh, state)
+    x = shard_batch(
+        mesh,
+        np.random.RandomState(0)
+        .uniform(-1, 1, (8, 32, 32, 3))
+        .astype(np.float32),
+    )
+    step = jax.jit(
+        make_train_step(
+            models, opts, cfg, mesh=mesh, pallas_interpret="plain"
+        ),
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    new_state, metrics = step(state, x)
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
