@@ -36,12 +36,13 @@ from .driver_utils import (
 )
 
 
-def make_score_fn(models, cfg, langevin_steps: int = 10):
+def make_score_fn(models, cfg, langevin_steps: int = 10, mesh=None):
     """Jitted fn(state, key, x) -> anomaly scores (state as argument so the
-    compiled program is shared across evals)."""
+    compiled program is shared across evals). With a mesh, the fused
+    Q-sweep kernel shard_maps over `data` (sampling.anomaly_scores)."""
     return jax.jit(
         lambda st, k, x: sampling.anomaly_scores(
-            k, st, models, cfg, x, langevin_steps=langevin_steps
+            k, st, models, cfg, x, langevin_steps=langevin_steps, mesh=mesh
         )
     )
 
@@ -68,7 +69,7 @@ def evaluate_auprc(
     # Pass `score_fn` (built once via make_score_fn) from training loops so
     # repeated evals reuse ONE compiled program instead of re-tracing a
     # fresh jit per call.
-    score_fn = score_fn or make_score_fn(models, cfg, langevin_steps)
+    score_fn = score_fn or make_score_fn(models, cfg, langevin_steps, mesh=mesh)
     if mesh is not None:
         from ..parallel import DATA_AXIS, shard_batch
 
@@ -126,7 +127,11 @@ def train_anomaly(
     print(f"[damc] training-batch placement: {data_placement}")
 
     auc_best = 0.0
-    eval_score_fn = make_score_fn(models, cfg)
+    # Multi-host eval runs per-host on a host-local state copy (mesh=None
+    # there); a single-host mesh shards the scoring batches over `data` so
+    # the fused Q-sweep kernel dispatches through shard_map.
+    eval_mesh = None if multihost else mesh
+    eval_score_fn = make_score_fn(models, cfg, mesh=eval_mesh)
     import time as _time
 
     cd_monitor = CDGapMonitor(gap_ceiling=cd_gap_ceiling(tc.e_energy_reg))
@@ -147,7 +152,7 @@ def train_anomaly(
             jax.random.fold_in(k_eval, it),
             host_local_state(state) if multihost else state,
             models, cfg, test_images, test_labels,
-            score_fn=eval_score_fn,
+            score_fn=eval_score_fn, mesh=eval_mesh,
         )
         if multihost:
             # The best-ckpt branch below must be taken by EVERY

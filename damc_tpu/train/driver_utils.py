@@ -79,8 +79,11 @@ def make_step_fn(models, opts, cfg, mesh, state):
                 "training batch would fail at the first step"
             )
         state = replicate(mesh, state)
+        # Pass the mesh into the step builder: the fused Pallas kernels have
+        # no GSPMD partitioning rule and must dispatch through shard_map
+        # over the data axis (ops/pallas/*_sharded).
         step = jax.jit(
-            make_train_step(models, opts, cfg),
+            make_train_step(models, opts, cfg, mesh=mesh),
             in_shardings=(replicated(mesh), batch_sharding(mesh)),
             out_shardings=(replicated(mesh), replicated(mesh)),
             donate_argnums=0,

@@ -56,7 +56,7 @@ def make_fid_batch_fn(models, cfg, batch, prior, mesh=None):
         out_shardings=batch_sharding(mesh) if mesh is not None else None,
     )
     def one_batch(state, k):
-        out = gen(k, state, models, cfg, batch)
+        out = gen(k, state, models, cfg, batch, mesh=mesh)
         x = out[0] if isinstance(out, tuple) else out
         return sampling.to_unit_range(x)
 
@@ -106,14 +106,17 @@ def evaluate_fid(
     return fid_from_samples(feature_fn, batches(), real_mu, real_sigma)
 
 
-def make_recon_fn(models, cfg, langevin_steps: int = 10):
+def make_recon_fn(models, cfg, langevin_steps: int = 10, mesh=None):
     """Jitted fn(state, key, x) -> per-image recon-MSE vector (state as
     argument). Per-image output (not a batch sum) so padded tail rows can be
-    dropped host-side — the reference's drop_last=False mset protocol."""
+    dropped host-side — the reference's drop_last=False mset protocol.
+    With a mesh, the posterior Q-sweep's fused kernel shard_maps over
+    `data` (sampling.reconstruct)."""
     return jax.jit(
         lambda state, k, x: sampling.recon_mse_per_image(
             sampling.reconstruct(
-                k, state, models, cfg, x, langevin_steps=langevin_steps
+                k, state, models, cfg, x, langevin_steps=langevin_steps,
+                mesh=mesh,
             )[0],
             x,
         )
@@ -131,7 +134,7 @@ def evaluate_mse(
     the last image (keeping one compiled shape, like `train/anomaly.py`) and
     the padded rows are excluded from the sum — valid because every recon op
     is per-sample independent."""
-    recon = recon_fn or make_recon_fn(models, cfg)
+    recon = recon_fn or make_recon_fn(models, cfg, mesh=mesh)
     n = len(eval_images)
     if n == 0:
         raise ValueError("evaluate_mse: empty eval set")
@@ -234,22 +237,28 @@ def train_gen_recon(
         fid_bs = max(fid_bs - fid_bs % n_data, n_data)
     fid_damc_fn = make_fid_batch_fn(models, cfg, fid_bs, "damc", mesh)
     fid_ebm_fn = make_fid_batch_fn(models, cfg, fid_bs, "ebm", mesh)
-    recon_fn = make_recon_fn(models, cfg)
+    # Multi-host recon-MSE runs redundantly per host on a host-local state
+    # copy (mesh=None there); single-host meshes shard it over `data`.
+    recon_mesh = None if multihost else mesh
+    recon_fn = make_recon_fn(models, cfg, mesh=recon_mesh)
     # Plot-time programs, also compiled once with state as an argument
     # (closing over state would embed all params as literals AND retrace
     # every plot iteration).
     plot_recon_fn = jax.jit(
         lambda st, k, xb: sampling.reconstruct(
-            k, st, models, cfg, xb, langevin_steps=cfg.mcmc.g_l_steps
+            k, st, models, cfg, xb, langevin_steps=cfg.mcmc.g_l_steps,
+            mesh=recon_mesh,
         )
     )
     plot_q_fn = jax.jit(
         lambda st, k, xb: sampling.sample_q(
-            st.params_q_ema, models.amortizer, k, x=xb
+            st.params_q_ema, models.amortizer, k, x=xb, mesh=recon_mesh
         )
     )
     plot_prior_fn = jax.jit(
-        lambda st, k, nb: sampling.gen_samples_damc_prior(k, st, models, cfg, nb),
+        lambda st, k, nb: sampling.gen_samples_damc_prior(
+            k, st, models, cfg, nb, mesh=recon_mesh
+        ),
         static_argnums=2,
     )
     def run_eval(it: int) -> None:
@@ -288,7 +297,7 @@ def train_gen_recon(
                 jax.random.fold_in(k_mse, it),
                 host_local_state(state) if multihost else state,
                 models, cfg, mse_images, tc.batch_size,
-                recon_fn=recon_fn,
+                recon_fn=recon_fn, mesh=recon_mesh,
             )
             mse_best = min(mse_best, eval_metrics["recon_mse"])
             eval_metrics["recon_mse_best"] = mse_best

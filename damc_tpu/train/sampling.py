@@ -29,10 +29,13 @@ def gen_samples_ebm_prior(
     models: ModelBundle,
     cfg: Config,
     batch: int,
+    mesh=None,
 ) -> jax.Array:
     """x = G(z), z ~ short-run Langevin on the EBM prior from N(0, I).
 
     (Reference `gen_samples`, `MCMC.py:119-128`.) Returns images in [-1, 1].
+    With a mesh, the fused Pallas chain dispatches through shard_map over
+    the `data` axis (the conv decode partitions via GSPMD as before).
     """
     mc = cfg.mcmc
     k_init, k_chain = jax.random.split(key)
@@ -47,6 +50,7 @@ def gen_samples_ebm_prior(
         mc.e_l_with_noise,
         use_pallas=cfg.train.use_pallas,
         dots_dtype=cfg.train.pallas_dots_dtype,
+        mesh=mesh,
     )
     return models.generator.apply(state.params_g, z)
 
@@ -57,12 +61,16 @@ def gen_samples_damc_prior(
     models: ModelBundle,
     cfg: Config,
     batch: int,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """x = G(z), z ~ Q(.) — one amortized reverse-diffusion pass.
 
     (Reference `gen_samples_with_diffusion_prior`, `MCMC.py:146-150`.)
+    With a mesh, the fused Pallas sweep dispatches through shard_map.
     """
-    z = sample_q(state.params_q, models.amortizer, key, x=None, b=batch)
+    z = sample_q(
+        state.params_q, models.amortizer, key, x=None, b=batch, mesh=mesh
+    )
     return models.generator.apply(state.params_g, z), z
 
 
@@ -73,16 +81,18 @@ def reconstruct(
     cfg: Config,
     x: jax.Array,
     langevin_steps: int = 10,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Posterior inference for reconstruction: Q(x) init + short NOISELESS
     Langevin refinement, then decode (`train_gen_recon.py:324-348`,
     10 steps at train-eval; 5 for anomaly eval).
 
-    Returns (x_hat, z).
+    Returns (x_hat, z). With a mesh, the fused Q-sweep shard_maps over
+    `data` (the Langevin refinement is a scan — GSPMD partitions it).
     """
     mc = cfg.mcmc
     k_q, k_l = jax.random.split(key)
-    z0 = sample_q(state.params_q, models.amortizer, k_q, x=x)
+    z0 = sample_q(state.params_q, models.amortizer, k_q, x=x, mesh=mesh)
     gen_fn = lambda z: models.generator.apply(jax.lax.stop_gradient(state.params_g), z)
     if models.ebm is not None:
         ebm_fn = lambda z: models.ebm.apply(jax.lax.stop_gradient(state.params_e), z)
@@ -114,12 +124,13 @@ def anomaly_scores(
     cfg: Config,
     x: jax.Array,
     langevin_steps: int = 10,
+    mesh=None,
 ) -> jax.Array:
     """Anomaly score: ||x_hat - x||^2 + E(z) + 0.5 ||z||^2 after Q init +
     noiseless posterior Langevin (`train_anomaly_det.py:206-248`,
     `eval_anomaly_det.py:100-125`). Higher = more anomalous; fed to the PR
     curve directly with anomaly-label 1, matching the reference."""
-    x_hat, z = reconstruct(key, state, models, cfg, x, langevin_steps)
+    x_hat, z = reconstruct(key, state, models, cfg, x, langevin_steps, mesh=mesh)
     b = x.shape[0]
     recon = jnp.sum((x_hat - x).reshape(b, -1) ** 2, axis=-1)
     en = models.ebm.apply(state.params_e, z)

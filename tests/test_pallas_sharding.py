@@ -267,7 +267,10 @@ def test_sample_q_per_item_composition_and_sharding(q_setup):
             fused_interpret="plain", mesh=mesh,
         )
     )
-    assert np.array_equal(sharded, full)
+    # Kernel-level sharded-vs-unsharded bit-equality is pinned above with
+    # fixed operands; through the full pipeline the GSPMD-sharded encoder/
+    # table matmuls upstream admit float-ulp differences.
+    np.testing.assert_allclose(sharded, full, atol=1e-4, rtol=1e-4)
 
     # the scan fallback honors the same contract (different stream). b=16
     # vs b=1 are different XLA programs whose GEMM reduction order differs
