@@ -49,6 +49,13 @@ def main(argv=None):
         "mode is the default)",
     )
     p.add_argument(
+        "--fused", choices=("auto", "on", "off"), default="auto",
+        help="serve through the fused Pallas kernels in per-row counter-"
+        "noise mode (same per-request determinism contract as the scan "
+        "path, different noise stream). auto = on when on TPU with the "
+        "compact model family (serving_fused_auto)",
+    )
+    p.add_argument(
         "--recon_langevin_steps", type=int, default=None,
         help="noiseless posterior-Langevin refinement steps on /reconstruct "
         "(reference train-eval protocol: 10 = the default; anomaly eval: 5)",
@@ -88,6 +95,7 @@ def main(argv=None):
         for flag, is_set in (
             ("--recon_langevin_steps", args.recon_langevin_steps is not None),
             ("--bucketed", args.bucketed),
+            ("--fused", args.fused != "auto"),
         ):
             if is_set:
                 print(
@@ -163,6 +171,11 @@ def main(argv=None):
             ),
             deterministic=not args.bucketed,
             mesh=mesh,
+            fused={"auto": None, "on": True, "off": False}[args.fused],
+        )
+        print(
+            f"[damc] serving kernels: "
+            f"{'fused Pallas (per-row counter noise)' if service.fused else 'lax.scan'}"
         )
     print("[damc] warming up (compiling serving buckets)...")
     service.warmup()

