@@ -48,21 +48,23 @@ def main(argv=None):
     multihost = jax.process_count() > 1
     state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
     state = restore_checkpoint(args.ckpt_dir, args.ckpt_name, state)
+    # Multi-host: the AUPRC sweep pulls per-image scores to the host, so it
+    # runs per-host redundant on the restored host-local state (the anomaly
+    # train driver's eval protocol, train/anomaly.py) — every host computes
+    # the identical number; host 0's is printed everywhere. No global-mesh
+    # replication: it would be a pure wasted cross-host transfer, the mesh
+    # is never used on this path (r4 advisor finding).
     mesh = None
-    if args.use_mesh and len(jax.devices()) > 1:
+    if not multihost and args.use_mesh and len(jax.devices()) > 1:
         from ..parallel import make_mesh, replicate
 
         mesh = make_mesh()
         state = replicate(mesh, state)
-    # Multi-host: the AUPRC sweep pulls per-image scores to the host, so it
-    # runs per-host redundant on a host-local state copy (the anomaly train
-    # driver's eval protocol, train/anomaly.py) — every host computes the
-    # identical number; host 0's is printed everywhere.
     score = evaluate_auprc(
         jax.random.PRNGKey(cfg.train.seed),
         host_local_state(state) if multihost else state,
         models, cfg, test_x, test_y, langevin_steps=5,
-        mesh=None if multihost else mesh,
+        mesh=mesh,
     )
     if multihost:
         score = broadcast_metric(score)
