@@ -410,6 +410,12 @@ def collect(
         "vs_baseline": round(
             kernel_scan / A6000_KERNEL_FLOOR_CHAIN_STEPS_PER_SEC, 2
         ),
+        # Measurement-protocol version (r4 advisor finding: the r3->r4
+        # protocol change — single 1200-step dispatch, 200-iter windows,
+        # best-of-3 — moved the headline number while vs_baseline kept the
+        # same floor; tag the payload so historical values are not compared
+        # as like-for-like). Bump when the timing protocol changes.
+        "bench_protocol": "r4-best-of-3",
         "kernel_impl": "xla_scan",
         "baseline_note": (
             "A6000 floor 2.56M chain-steps/s = 256 chains / 100us-step"

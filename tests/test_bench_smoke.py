@@ -170,6 +170,10 @@ def test_bench_main_prints_parseable_json_lines(tmp_path, monkeypatch):
     import damc_tpu.cli.common as cli_common
 
     monkeypatch.setattr(cli_common, "enable_compile_cache", lambda: None)
+    # The budget assertion below reads the real environment through
+    # bench.main(); an exported DAMC_BENCH_BUDGET_S (the documented driver
+    # knob) would fail it spuriously (r4 advisor finding).
+    monkeypatch.delenv("DAMC_BENCH_BUDGET_S", raising=False)
     dial_down(monkeypatch, bench)
     monkeypatch.setattr(bench, "preset", lambda name: tiny_cfg())
     orig_collect = bench.collect

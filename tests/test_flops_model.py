@@ -202,3 +202,70 @@ def test_stylegan_synthesis_flops_matches_xla_res256():
     got = xla_flops(lambda p, zz: generator_apply(p, zz, resolution=256), params, z)
     want = 2 * stylegan_synthesis_fwd_flops(256)
     assert rel_err(got, want) < 0.15, (got, want)
+
+
+def test_train_step_flops_structure():
+    """train_step_flops (round-5 full-step MFU numerator): components are
+    positive, sum to the total, and respect the workload structure knobs
+    (anomaly single chains + dual-branch Q loss; toy no E/G updates)."""
+    from damc_tpu.utils.config import preset
+    from damc_tpu.utils.flops import sampling_phase_flops, train_step_flops
+
+    cfg = preset("cifar10")
+    fl = train_step_flops(cfg, 128)
+    parts = ("sampling_phase", "q_updates", "g_update", "e_update")
+    assert all(fl[k] > 0 for k in parts), fl
+    assert abs(sum(fl[k] for k in parts) - fl["total"]) < 1e-6 * fl["total"]
+    assert fl["sampling_phase"] == sampling_phase_flops(cfg, 128)["total"]
+
+    # anomaly: single prior chains (E update over 2B rows, not 3B) and the
+    # dual-branch Q loss doubles the Q-update work per inner update
+    an = preset("mnist_anomaly")
+    fa = train_step_flops(an, 128)
+    e_fwd = fa["ebm_fwd_per_sample"]
+    assert fa["e_update"] == 3.0 * 2 * 128 * e_fwd
+    import dataclasses
+
+    an1 = dataclasses.replace(
+        an, train=dataclasses.replace(an.train, q_loss_both_branches=False)
+    )
+    assert abs(
+        train_step_flops(an1, 128)["q_updates"] * 2 - fa["q_updates"]
+    ) < 1e-6 * fa["q_updates"]
+
+    # toy: no EBM/no G update -> e_update 0, g monitor fwd only
+    toy = preset("toy")
+    ft = train_step_flops(toy, 500)
+    assert ft["e_update"] == 0.0
+    assert ft["g_update"] == 500 * ft["generator_fwd_per_image"]
+
+
+def test_sampling_phase_flops_prior_chain_structure():
+    """The phase model honors prior_chains: 2B gen_recon vs B anomaly vs
+    0 toy (round-5 generalization; was hardcoded 'double')."""
+    import dataclasses
+
+    from damc_tpu.utils.config import preset
+    from damc_tpu.utils.flops import sampling_phase_flops
+
+    cfg = preset("cifar10")
+    double = sampling_phase_flops(cfg, 64)["prior"]
+    single = sampling_phase_flops(
+        dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, prior_chains="single")
+        ),
+        64,
+    )["prior"]
+    assert abs(double - 2 * single) < 1e-6 * double
+    assert sampling_phase_flops(preset("toy"), 64)["prior"] == 0.0
+
+    # remat_generator recomputes the G forward inside the posterior bwd
+    remat = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat_generator=True)
+    )
+    base = sampling_phase_flops(cfg, 64)
+    with_remat = sampling_phase_flops(remat, 64)
+    extra = 64 * cfg.mcmc.g_l_steps * base["generator_fwd_per_image"]
+    assert abs(
+        (with_remat["posterior"] - base["posterior"]) - extra
+    ) < 1e-6 * extra

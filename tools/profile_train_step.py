@@ -83,9 +83,13 @@ def main():
 
     t_phase_info = {}
     # bench_sampling_phase returns the flat cumulative-fields dict since the
-    # round-4 bench redesign (scan-impl phase; identical math/FLOPs).
+    # round-4 bench redesign. pallas follows cfg.train.use_pallas so the
+    # profiled phase runs the SAME kernel implementations the fused train
+    # step above dispatches (r4 advisor finding: the pallas=False default
+    # mixed implementations, ~4% phase-fraction skew).
     mfu = bench.bench_sampling_phase(models, state, cfg,
-                                     B=cfg.train.batch_size)
+                                     B=cfg.train.batch_size,
+                                     pallas=cfg.train.use_pallas)
     t_phase_info["sampling_phase"] = mfu["sampling_phase_wall_s"]
 
     # --- sampling-phase internals: sweep vs posterior vs prior ---
