@@ -101,6 +101,40 @@ def main():
     print(f"bf16-dots ULA var {var16:.4f} (expected {expected:.4f})")
     assert abs(var16 - expected) / expected < 0.05
 
+    # 3d. Per-row COUNTER noise (round-5 serving-determinism mode,
+    # row_seeds): the murmur-mix Box-Muller stream must hold the same ULA
+    # stationary statistics on real Mosaic, and a row's noisy chain must be
+    # bit-identical whether it runs alone or packed in a batch (the
+    # property the fused serving path rests on).
+    row_seeds = jnp.arange(2048, dtype=jnp.int32)
+    zs_ctr = fused_prior_langevin(
+        jnp.zeros((2048, 128)), *zeroed, row_seeds=row_seeds,
+        steps=500, step_size=eps, with_noise=True,
+    )
+    var_c, mean_c = float(jnp.var(zs_ctr)), float(jnp.mean(zs_ctr))
+    print(f"counter-noise ULA var {var_c:.4f} (expected {expected:.4f}), "
+          f"mean {mean_c:.4f}")
+    assert abs(var_c - expected) / expected < 0.05
+    assert abs(mean_c) < 0.05
+    full = fused_prior_langevin(
+        z[:128], *weights, row_seeds=row_seeds[:128], steps=10,
+        step_size=0.1, with_noise=True,
+    )
+    solo = fused_prior_langevin(
+        z[5:6], *weights, row_seeds=row_seeds[5:6], steps=10,
+        step_size=0.1, with_noise=True,
+    )
+    same = bool(jnp.all(full[5] == solo[0]))
+    print(f"counter-noise composition independence (row 5 alone vs packed): "
+          f"{same}")
+    assert same
+    # cross-row independence of the counter stream
+    c0 = np.asarray(zs_ctr[:512]).ravel()
+    c1 = np.asarray(zs_ctr[512:1024]).ravel()
+    corr_c = float(np.corrcoef(c0, c1)[0, 1])
+    print(f"counter-noise cross-row corr {corr_c:+.4f}")
+    assert abs(corr_c) < 0.05
+
     # 4. Throughput vs lax.scan.
     STEPS, N = 600, 30
 
@@ -127,11 +161,25 @@ def main():
     force_sync(out)
     t_pal = time.perf_counter() - t0
 
+    run_ctr = lambda i: fused_prior_langevin(
+        z, *weights, row_seeds=row_seeds[: z.shape[0]] + i, steps=STEPS,
+        step_size=0.4, with_noise=True,
+    )
+    out = run_ctr(jnp.int32(0))
+    force_sync(out)
+    t0 = time.perf_counter()
+    for i in range(N):
+        out = run_ctr(jnp.int32(1 + i))
+    force_sync(out)
+    t_ctr = time.perf_counter() - t0
+
     cs = z.shape[0] * STEPS * N
     print(
         f"lax.scan: {cs / t_scan / 1e6:.1f}M chain-steps/s | "
         f"pallas fused: {cs / t_pal / 1e6:.1f}M chain-steps/s | "
-        f"speedup x{t_scan / t_pal:.2f}"
+        f"speedup x{t_scan / t_pal:.2f} | "
+        f"counter-noise fused: {cs / t_ctr / 1e6:.1f}M chain-steps/s "
+        f"(x{t_ctr / t_pal:.2f} vs stream)"
     )
     print("ALL CHECKS PASSED")
 
