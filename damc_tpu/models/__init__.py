@@ -1,6 +1,11 @@
 """Flax model zoo for DAMC: generators, EBM, encoders, denoiser, amortizer."""
 
-from .amortizer import DAMCAmortizer, PriorEmbedder, sample_q
+from .amortizer import (
+    DAMCAmortizer,
+    PriorEmbedder,
+    sample_q,
+    sample_q_per_item,
+)
 from .denoiser import ConcatSquashLinear, LatentDenoiser, SinusoidalTimeEmbedding
 from .ebm import LatentEBM
 from .encoders import ConvEncoder, MLPEncoder, encoder_spec, make_encoder
@@ -10,6 +15,7 @@ __all__ = [
     "DAMCAmortizer",
     "PriorEmbedder",
     "sample_q",
+    "sample_q_per_item",
     "ConcatSquashLinear",
     "LatentDenoiser",
     "SinusoidalTimeEmbedding",
