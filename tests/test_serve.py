@@ -373,6 +373,36 @@ def test_fused_reconstruct_deterministic(fused_service):
     np.testing.assert_array_equal(z, z2)
 
 
+def test_serving_fused_auto_gate_logic(monkeypatch):
+    """serving_fused_auto must reject exactly the configurations the fused
+    kernels cannot serve: non-TPU backends, VMEM-overflowing denoiser
+    families, and non-standard EBM param layouts."""
+    import jax
+
+    import damc_tpu.serve as serve_mod
+
+    cfg = tiny_cfg()
+    state, models, _ = create_state(jax.random.PRNGKey(0), cfg)
+    pq, pe = state.params_q, state.params_e
+
+    # CPU backend: off.
+    assert serve_mod.serving_fused_auto(models, pq, pe, cfg) is False
+
+    # Pretend-TPU: the compact family passes every remaining check.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert serve_mod.serving_fused_auto(models, pq, pe, cfg) is True
+
+    # Non-standard EBM layout (extra layer name): off.
+    bad_pe = {"params": dict(pe["params"], Dense_9=list(pe["params"].values())[0])}
+    assert serve_mod.serving_fused_auto(models, pq, bad_pe, cfg) is False
+
+    # VMEM overflow: force the fit check to fail.
+    import damc_tpu.ops.pallas.fused_qsweep as qs
+
+    monkeypatch.setattr(qs, "fits_vmem", lambda *a, **k: False)
+    assert serve_mod.serving_fused_auto(models, pq, pe, cfg) is False
+
+
 def test_batchstats_ring_bounded():
     s = BatchStats()
     for i in range(5000):
